@@ -1,0 +1,127 @@
+"""Suite runner — the engine's analog of the reference CLI driver loop
+(`dvt:139-192`: instantiate each configured check, inject context, run,
+merge report fragments), re-expressed as a handful of streaming Ray Data
+pipelines that share one source:
+
+  1. driver-side metadata checks (schema conformance, spec completeness)
+  2. ONE fused stateless map_batches pass (facets, enums, cross-domain,
+     universal predicates) over a column-pruned scan
+  3. ONE grouped shuffle for all cardinality + existential constraints
+  4. anti-join passes for referential integrity / zero-edge
+  5. (optional) the audio-decode actor-pool stage
+
+Violation Datasets are unioned lazily; the verdict aggregation
+(groupby check_id, tiny) is the only driver materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..checks.base import VIOLATION_SCHEMA, empty_violations
+from ..checks.cardinality import grouped_violations
+from ..checks.referential import ref_existence_violations, zero_edge_violations
+from ..checks.schema import schema_violations, spec_completeness_violations
+from ..spec import ConstraintSpec
+from ..stages.facet_stage import StatelessValidator, stateless_columns
+
+ALL_CHECK_IDS = [
+    "SCHEMA-COLUMN-100", "SCHEMA-COLUMN-101", "SPEC-COMPLETENESS-100",
+    "DATATYPE-FACET-101", "ENUM-DOMAIN-100", "CROSS-DOMAIN-100",
+    "ONLY-100", "CARD-MAX-100", "CARD-MIN-100", "CARD-MIN-102",
+    "CARD-EXACT-100", "SOME-100", "REF-EXISTENCE-100",
+    "DECODE-100", "DECODE-101", "DRIFT-100",
+]
+
+
+@dataclass
+class SuiteResult:
+    violations: "ray.data.Dataset"
+    driver_violations: pa.Table          # metadata checks (already materialized)
+
+    _counts: Optional[pd.DataFrame] = field(default=None, repr=False)
+
+    def violation_counts(self) -> pd.DataFrame:
+        """Small aggregate: one row per check_id with its violation count."""
+        if self._counts is None:
+            agg = self.violations.groupby("check_id").count().to_pandas()
+            agg = agg.rename(columns={"count()": "n"})
+            drv = (
+                self.driver_violations.to_pandas().groupby("check_id").size()
+                .rename("n").reset_index()
+            )
+            self._counts = (
+                pd.concat([agg, drv], ignore_index=True)
+                .groupby("check_id")["n"].sum().reset_index()
+            )
+        return self._counts
+
+    def report(self, sample: int = 20) -> dict:
+        counts = {r["check_id"]: int(r["n"]) for _, r in self.violation_counts().iterrows()}
+        checks = {
+            cid: {"pass": counts.get(cid, 0) == 0, "n_violations": counts.get(cid, 0)}
+            for cid in ALL_CHECK_IDS
+        }
+        sample_rows = self.violations.limit(sample).to_pandas().to_dict("records")
+        return {
+            "pass": all(c["pass"] for c in checks.values()),
+            "checks": checks,
+            "violations_sample": sample_rows,
+        }
+
+
+def run_suite(
+    ds: "ray.data.Dataset",
+    spec: ConstraintSpec,
+    refs: Optional[dict[str, "ray.data.Dataset"]] = None,
+    expected_keys: Optional["ray.data.Dataset"] = None,
+    expected_key_column: str = "key",
+    batch_size: Optional[int] = None,
+) -> SuiteResult:
+    """Plan every check of ``spec`` against ``ds``; everything stays lazy
+    until the caller consumes the violations Dataset / report."""
+    actual_schema = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else None
+    if actual_schema is None:
+        names = ds.schema().names
+        types = ds.schema().types
+        actual_schema = pa.schema(list(zip(names, types)))
+
+    driver_v = pa.concat_tables([
+        schema_violations(actual_schema, spec),
+        spec_completeness_violations(actual_schema, spec),
+    ])
+
+    parts: list["ray.data.Dataset"] = []
+
+    cols = [c for c in stateless_columns(spec) if c in actual_schema.names]
+    stateless = ds.select_columns(cols).map_batches(
+        StatelessValidator(spec),
+        batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
+    )
+    parts.append(stateless)
+
+    grouped = grouped_violations(ds, spec, batch_size=batch_size)
+    if grouped is not None:
+        parts.append(grouped)
+
+    for ri in spec.ref_integrity:
+        if refs and ri.ref_table in refs:
+            parts.append(ref_existence_violations(
+                refs[ri.ref_table], ri.ref_column, ds, ri.key_column))
+
+    if expected_keys is not None and spec.key_column:
+        parts.append(zero_edge_violations(
+            expected_keys, expected_key_column, ds, spec.key_column))
+
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.union(p)
+
+    return SuiteResult(violations=violations, driver_violations=driver_v)

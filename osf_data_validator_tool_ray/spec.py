@@ -1,0 +1,226 @@
+"""Constraint spec — the engine's analog of the reference's "ontologies".
+
+In the reference, constraints are RDF triples discovered at runtime via
+SPARQL (e.g. owl:Restriction with owl:maxQualifiedCardinality,
+rdfs:domain/range, xsp:* facets — see
+/root/reference/.../checks/CheckOwlRestrictionMax.php:45-64 and
+checks/Check.php:559-953).  Here the constraint spec is a small, explicit
+Python object: cheap to serialize, broadcast once into every Ray task /
+actor by closure capture (Ray ships the function+captures to workers a
+single time, not per batch).
+
+Facets are evaluated CONJUNCTIVELY (all declared facets must pass).  This
+deliberately diverges from the reference's early-return facet evaluator
+(pattern short-circuits min/max, and its `length` facet compares against
+maxLength — checks/Check.php:849-951); SURVEY.md §7.4 documents the
+divergence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import pyarrow as pa
+
+
+@dataclass(frozen=True)
+class Facets:
+    """XSP-style facet set for one column.
+
+    Analog of the reference's custom-datatype facet vocabulary
+    (xsp:pattern, xsp:minInclusive/maxInclusive, xsp:minLength/maxLength,
+    xsp:length — checks/Check.php:561-577).
+    """
+
+    dtype: str = "string"             # logical datatype name (see functions.facets)
+    pattern: Optional[str] = None      # full-match regex
+    min_inclusive: Optional[float] = None
+    max_inclusive: Optional[float] = None
+    min_exclusive: Optional[float] = None
+    max_exclusive: Optional[float] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    length: Optional[int] = None
+    not_null: bool = False
+    not_empty: bool = False            # strings: != ""; binary: len > 0
+
+
+@dataclass(frozen=True)
+class EnumDomain:
+    """Closed value domain with an optional subsumption hierarchy.
+
+    Analog of CheckClassesDefined (every used class must be defined,
+    checks/CheckClassesDefined.php:40-51) + the superclass-closure logic
+    of CheckObjectPropertiesRange.php:205-281: a value passes if it is in
+    the transitive closure of the allowed set under ``parents``.
+    """
+
+    column: str
+    allowed: frozenset[str]
+    # child -> parent edges, e.g. {"pcm_s16le": "pcm", "pcm": "audio"}
+    parents: dict[str, str] = field(default_factory=dict)
+
+    def closure(self) -> frozenset[str]:
+        """All values whose ancestor chain reaches a member of ``allowed``."""
+        out = set()
+        universe = set(self.allowed) | set(self.parents)
+        for v in universe:
+            node: Optional[str] = v
+            seen = set()
+            while node is not None and node not in seen:
+                if node in self.allowed:
+                    out.add(v)
+                    break
+                seen.add(node)
+                node = self.parents.get(node)
+        return frozenset(out)
+
+
+@dataclass(frozen=True)
+class Cardinality:
+    """Per-key cardinality restriction.
+
+    Analog of owl:min/max/qualifiedCardinality restrictions
+    (CheckOwlRestrictionMax/Min/Exact).  ``qualifier`` optionally names a
+    predicate id registered in checks.cardinality.QUALIFIERS so that only
+    rows matching it are counted (the owl:onDataRange / owl:onClass
+    qualified variants).
+    """
+
+    key: str                            # grouping key column
+    column: str                         # counted column (non-null occurrences)
+    min_count: Optional[int] = None
+    max_count: Optional[int] = None
+    exact_count: Optional[int] = None
+    qualifier: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class RefIntegrity:
+    """Referential-integrity constraint: every value of ``ref_column`` in
+    the ``ref_table`` must exist in ``key_column`` of the primary table.
+
+    Analog of CheckURIExistence (every referenced URI must exist,
+    checks/CheckURIExistence.php:42-55)."""
+
+    ref_table: str
+    ref_column: str
+    key_column: str
+
+
+@dataclass(frozen=True)
+class CrossColumnDomain:
+    """Column value must be drawn from a per-type allowed set: for rows
+    whose ``type_column`` value is T, ``column`` must be in allowed[T].
+
+    Analog of CheckObjectDatatypePropertiesDomain (the types of subjects
+    using a property must match its rdfs:domain,
+    checks/CheckObjectDatatypePropertiesDomain.php:136-250)."""
+
+    type_column: str
+    column: str
+    allowed: dict[str, frozenset]        # type value -> allowed set
+    unknown_type_ok: bool = True
+
+
+@dataclass(frozen=True)
+class Existential:
+    """Per-group existential: every group (by ``key``) must contain at
+    least one row satisfying the named predicate.
+
+    Analog of owl:someValuesFrom (CheckOwlRestrictionSome)."""
+
+    key: str
+    predicate: str                      # id in checks registry
+
+
+@dataclass(frozen=True)
+class Universal:
+    """Per-row universal: every row must satisfy the named predicate
+    (violations are the counterexamples).
+
+    Analog of owl:allValuesFrom (CheckOwlRestrictionOnly)."""
+
+    predicate: str
+
+
+@dataclass
+class ConstraintSpec:
+    """The full "ontology" for one table."""
+
+    table: str
+    expected_schema: Optional[pa.Schema] = None
+    facets: dict[str, Facets] = field(default_factory=dict)
+    enums: list[EnumDomain] = field(default_factory=list)
+    cross_domains: list[CrossColumnDomain] = field(default_factory=list)
+    cardinalities: list[Cardinality] = field(default_factory=list)
+    ref_integrity: list[RefIntegrity] = field(default_factory=list)
+    existentials: list[Existential] = field(default_factory=list)
+    universals: list[Universal] = field(default_factory=list)
+    key_column: Optional[str] = None     # primary record key (clip_id analog)
+    params: dict[str, Any] = field(default_factory=dict)  # check params (?mode=strict|loose analog)
+
+
+# ---------------------------------------------------------------------------
+# The flagship spec for the audio clip + transcript table (input_hint shape).
+# ---------------------------------------------------------------------------
+
+CODEC_HIERARCHY = {"pcm_s16le": "pcm", "pcm_u8": "pcm", "pcm": "audio", "ulaw": "audio"}
+KNOWN_CODECS = frozenset({"pcm_s16le", "pcm_u8", "ulaw"})
+CODEC_SR = {
+    "pcm_s16le": frozenset({8000, 16000, 22050, 44100, 48000}),
+    "pcm_u8": frozenset({8000, 16000, 22050}),
+    "ulaw": frozenset({8000, 16000}),
+}
+
+
+def clips_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+        ]
+    )
+
+
+def clips_spec(mode: str = "strict") -> ConstraintSpec:
+    """Constraint spec for the audio table — the engine's default run
+    config, mirroring the reference's dvt.ini check list (dvt.ini:21-33)."""
+    return ConstraintSpec(
+        table="clips",
+        key_column="clip_id",
+        expected_schema=clips_schema(),
+        facets={
+            "clip_id": Facets(dtype="Name", pattern=r"clip:[0-9]{4}:[0-9]{8}",
+                              not_null=True, not_empty=True),
+            "bytes": Facets(dtype="binary", not_null=True, not_empty=True),
+            "sr_hz": Facets(dtype="int", min_inclusive=8000, max_inclusive=48000,
+                            not_null=True),
+            "dur_ms": Facets(dtype="int", min_inclusive=200, max_inclusive=30000,
+                             not_null=True),
+            "codec": Facets(dtype="NCName", not_null=True, not_empty=True),
+            "transcript": Facets(dtype="normalizedString", max_length=2000,
+                                 not_null=True, not_empty=True),
+        },
+        enums=[EnumDomain(column="codec", allowed=KNOWN_CODECS, parents=CODEC_HIERARCHY)],
+        cross_domains=[CrossColumnDomain(type_column="codec", column="sr_hz",
+                                         allowed=CODEC_SR)],
+        cardinalities=[
+            # uniqueness of the primary key == max-cardinality 1
+            Cardinality(key="clip_id", column="clip_id", max_count=1),
+            # every clip has >= 1 non-empty transcript (min + zero-edge)
+            Cardinality(key="clip_id", column="transcript", min_count=1,
+                        qualifier="nonempty_transcript"),
+        ],
+        existentials=[Existential(key="clip_id", predicate="decodable_bytes")],
+        universals=[Universal(predicate="bytes_matches_codec"),
+                    Universal(predicate="frames_match_dur")],
+        ref_integrity=[RefIntegrity(ref_table="refs", ref_column="clip_id",
+                                    key_column="clip_id")],
+        params={"mode": mode},
+    )

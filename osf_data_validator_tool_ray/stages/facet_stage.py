@@ -1,0 +1,124 @@
+"""The fused stateless validation pass.
+
+ALL per-row checks (datatype facets, enum-domain closure, cross-column
+domain, universal predicates) run in ONE ``map_batches`` over zero-copy
+Arrow batches — the engine's equivalent of the reference's per-value
+scalar loops in CheckDatatypePropertiesDatatype.php:142-480,
+CheckClassesDefined.php:40-51, CheckObjectDatatypePropertiesDomain.php and
+CheckOwlRestrictionOnly.php:119-163, but evaluated columnar and fused so
+the table is scanned once, not once per check.
+
+The stage is a callable CLASS: spec compilation (facet regexes, enum
+closures, per-type allowed sets) happens once per actor/worker in
+``__init__`` (or once per task via closure serialization when used as a
+plain function), never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.facets import facet_violations
+from ..spec import ConstraintSpec
+from .base_ids import (
+    CROSS_DOMAIN_100,
+    DATATYPE_FACET_101,
+    ENUM_DOMAIN_100,
+    ONLY_100,
+)
+from ..checks.base import VIOLATION_SCHEMA, empty_violations, mask_violations
+from ..checks.predicates import PREDICATE_COLUMNS, PREDICATES
+
+
+class StatelessValidator:
+    """map_batches(StatelessValidator(spec), batch_format="pyarrow") ->
+    Dataset of violation rows."""
+
+    def __init__(self, spec: ConstraintSpec):
+        self.spec = spec
+        self.key = spec.key_column
+        self.enum_closures = [(e.column, e.closure()) for e in spec.enums]
+        self.universals = [(u.predicate, PREDICATES[u.predicate]) for u in spec.universals]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        out: list[pa.Table] = []
+
+        # 1. datatype facets (the workhorse — DATATYPE-FACET-101)
+        for column, facets in spec.facets.items():
+            if column not in batch.column_names:
+                continue
+            col = batch.column(column)
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                values = col.to_pandas()
+            else:
+                values = col.to_pandas()
+            for facet_name, mask in facet_violations(values, facets).items():
+                v = mask_violations(
+                    batch, mask, DATATYPE_FACET_101, self.key, column,
+                    expected=f"{facets.dtype}:{facet_name}",
+                )
+                if v is not None:
+                    out.append(v)
+
+        # 2. enum domains with hierarchy closure (ENUM-DOMAIN-100)
+        for column, closure in self.enum_closures:
+            if column not in batch.column_names:
+                continue
+            vals = batch.column(column).to_pandas()
+            bad = (~vals.isin(closure)).to_numpy(dtype=bool) & vals.notna().to_numpy(dtype=bool)
+            v = mask_violations(batch, bad, ENUM_DOMAIN_100, self.key, column,
+                                expected=f"in closure of {sorted(closure)[:8]}")
+            if v is not None:
+                out.append(v)
+
+        # 3. cross-column domains (CROSS-DOMAIN-100)
+        for cd in spec.cross_domains:
+            if cd.type_column not in batch.column_names or cd.column not in batch.column_names:
+                continue
+            types = batch.column(cd.type_column).to_pandas()
+            vals = batch.column(cd.column).to_pandas()
+            bad = np.zeros(batch.num_rows, dtype=bool)
+            known = types.isin(cd.allowed.keys()).to_numpy(dtype=bool)
+            for tval, allowed in cd.allowed.items():
+                sel = (types == tval).to_numpy(dtype=bool)
+                if sel.any():
+                    bad |= sel & (~vals.isin(allowed)).to_numpy(dtype=bool) & vals.notna().to_numpy(dtype=bool)
+            if not cd.unknown_type_ok:
+                bad |= ~known & types.notna().to_numpy(dtype=bool)
+            v = mask_violations(batch, bad, CROSS_DOMAIN_100, self.key, cd.column,
+                                expected=f"allowed per {cd.type_column}")
+            if v is not None:
+                out.append(v)
+
+        # 4. universal predicates — emit counterexample rows (ONLY-100);
+        # skipped when their columns are absent (SCHEMA-COLUMN-101's finding)
+        for pred_name, pred in self.universals:
+            if not PREDICATE_COLUMNS[pred_name] <= set(batch.column_names):
+                continue
+            ok = pred(batch)
+            v = mask_violations(batch, ~ok, ONLY_100, self.key,
+                                column=pred_name, expected=f"all rows satisfy {pred_name}")
+            if v is not None:
+                out.append(v)
+
+        if not out:
+            return empty_violations()
+        return pa.concat_tables(out).combine_chunks()
+
+
+def stateless_columns(spec: ConstraintSpec) -> list[str]:
+    """Columns the fused pass actually needs — used for projection pushdown
+    at the read so unrelated (esp. wide binary) columns never leave disk."""
+    cols = set(spec.facets.keys())
+    if spec.key_column:
+        cols.add(spec.key_column)
+    for e in spec.enums:
+        cols.add(e.column)
+    for cd in spec.cross_domains:
+        cols.update({cd.type_column, cd.column})
+    from ..checks.predicates import PREDICATE_COLUMNS as _PC
+    for u in spec.universals:
+        cols |= _PC[u.predicate]
+    return sorted(cols)
