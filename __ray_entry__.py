@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Every entry maps an engine operator (SURVEY.md §2) onto the driver's
+TPC-H-ish parquet tables so the driver can cross-check it against DuckDB
+at sf=0.01.  The engine itself lives in ``osf_data_validator_tool_ray``;
+nothing here calls ray.init()/ray.shutdown() (driver owns the session).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names in each query match its oracle SQL exactly (the driver's
+value-hash sorts columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +14,424 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _stable_empty(ds: "ray.data.Dataset", cols: list[str], dtypes: list) -> Any:
+    """Materialize a possibly-empty result with a stable schema: Ray's
+    to_pandas on a fully-empty Dataset drops columns, which would break
+    the driver's schema compare.  Small results only."""
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(cols, dtypes)})
+    return df[cols]
+
+
+# ---------------------------------------------------------------------------
+# flagship: full validation suite over the lineitem table
+# ---------------------------------------------------------------------------
+
+def _lineitem_spec():
+    from osf_data_validator_tool_ray.spec import Cardinality, ConstraintSpec, EnumDomain, Facets
+    return ConstraintSpec(
+        table="lineitem",
+        key_column="l_orderkey",
+        facets={
+            "l_quantity": Facets(dtype="decimal", min_inclusive=1, max_inclusive=50, not_null=True),
+            "l_discount": Facets(dtype="decimal", min_inclusive=0.0, max_inclusive=0.1),
+            "l_extendedprice": Facets(dtype="decimal", min_exclusive=0.0),
+        },
+        enums=[EnumDomain(column="l_returnflag", allowed=frozenset({"A", "N", "R"})),
+               EnumDomain(column="l_linestatus", allowed=frozenset({"O", "F"}))],
+        cardinalities=[Cardinality(key="l_orderkey", column="l_linenumber", max_count=7)],
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the validation suite planned over sf0.001 lineitem;
+    returns the violation rows (stable VIOLATION_SCHEMA)."""
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+
+    ds = _read("/root/testdata/sf0.001", "lineitem")
+    res = run_suite(ds, _lineitem_spec())
+    return res.violations.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable takes sf_dir, returns Dataset / DataFrame / Table
+# ---------------------------------------------------------------------------
+
+def _q_facet_bounds(sf_dir: str):
+    """Datatype-facet bounds check (DATATYPE-FACET-101 shape): lineitem
+    rows whose l_quantity violates [2, 48]."""
+    from osf_data_validator_tool_ray.pipelines.relational import filter_rows
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return filter_rows(
+        ds,
+        lambda t: pc.or_(pc.less(t["l_quantity"], 2.0), pc.greater(t["l_quantity"], 48.0)),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def _q_enum_domain(sf_dir: str):
+    """Enum-domain check (ENUM-DOMAIN-100 / classes-defined analog):
+    distinct l_returnflag values outside the allowed set {'A','N'}."""
+    from osf_data_validator_tool_ray.pipelines.relational import distinct_values, filter_rows
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    distinct = distinct_values(ds, "l_returnflag")
+    return filter_rows(distinct, lambda t: pc.invert(pc.is_in(
+        t["l_returnflag"], value_set=pa.array(["A", "N"]))))
+
+
+def _q_card_max(sf_dir: str):
+    """CARD-MAX-100: orderkeys with more than 5 lineitems."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_count_having
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return group_count_having(ds, "l_orderkey", "gt", 5, count_alias="n")
+
+
+def _q_card_min(sf_dir: str):
+    """CARD-MIN-100: orderkeys with fewer than 2 lineitems."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_count_having
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return group_count_having(ds, "l_orderkey", "lt", 2, count_alias="n")
+
+
+def _q_card_exact(sf_dir: str):
+    """CARD-EXACT-100: orderkeys whose lineitem count != 4."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_count_having
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return group_count_having(ds, "l_orderkey", "ne", 4, count_alias="n")
+
+
+def _q_card_max_qualified(sf_dir: str):
+    """Qualified max-cardinality (owl:onDataRange analog): orderkeys with
+    more than 3 lineitems having l_returnflag='R'."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_count_having
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    return group_count_having(
+        ds, "l_orderkey", "gt", 3, count_alias="n",
+        qualifier=lambda t: pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False),
+    )
+
+
+def _q_existential(sf_dir: str):
+    """SOME-100: orderkeys with NO lineitem having l_returnflag='R'."""
+    from osf_data_validator_tool_ray.pipelines.relational import existential_missing
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    return existential_missing(
+        ds, "l_orderkey",
+        lambda t: pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False),
+    )
+
+
+def _q_universal(sf_dir: str):
+    """ONLY-100 counterexamples: lineitems shipped on/after 1998-01-01."""
+    from osf_data_validator_tool_ray.pipelines.relational import filter_rows
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    cut = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
+    return filter_rows(ds, lambda t: pc.greater_equal(t["l_shipdate"], cut))
+
+
+def _q_ri_missing(sf_dir: str):
+    """REF-EXISTENCE-100: distinct events.user_id values that do not
+    exist in supplier.s_suppkey (bidirectional anti-join shape)."""
+    from osf_data_validator_tool_ray.checks.referential import anti_join_missing
+    events = _read(sf_dir, "events", ["user_id"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey"])
+    supplier = supplier.map_batches(
+        lambda t: t.set_column(0, "s_suppkey", t.column("s_suppkey").cast(pa.int64())),
+        batch_format="pyarrow")
+    miss = anti_join_missing(events, "user_id", supplier, "s_suppkey")
+    return miss.map_batches(lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow")
+
+
+def _q_zero_edge(sf_dir: str):
+    """CARD-MIN-102 zero-occurrence edge: customers with NO orders at all
+    (expected-key universe anti-joined against the data)."""
+    from osf_data_validator_tool_ray.checks.referential import anti_join_missing
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    cust = cust.map_batches(
+        lambda t: t.set_column(0, "c_custkey", t.column("c_custkey").cast(pa.int64())),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    miss = anti_join_missing(cust, "c_custkey", orders, "o_custkey")
+    miss = miss.map_batches(lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    return _stable_empty(miss, ["c_custkey"], ["int64"])
+
+
+def _q_uniqueness(sf_dir: str):
+    """Max-cardinality-1 on the primary key: duplicated o_orderkey."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_count_having
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    out = group_count_having(ds, "o_orderkey", "gt", 1, count_alias="n")
+    return _stable_empty(out, ["o_orderkey", "n"], ["int64", "int64"])
+
+
+def _q_cross_domain(sf_dir: str):
+    """CROSS-DOMAIN-100: purchase events must have value >= 1.0;
+    violations listed."""
+    from osf_data_validator_tool_ray.pipelines.relational import filter_rows
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return filter_rows(ds, lambda t: pc.and_(
+        pc.equal(t["event_type"], "purchase"), pc.less(t["value"], 1.0)))
+
+
+def _q_distinct_counts(sf_dir: str):
+    """Exact COUNT(DISTINCT): partial-set combiner + driver merge."""
+    from osf_data_validator_tool_ray.pipelines.relational import distinct_counts
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return distinct_counts(ds, ["l_partkey", "l_suppkey"])
+
+
+def _q_group_stats(sf_dir: str):
+    """Grouped aggregate (TPC-H Q1-lite): per (l_returnflag, l_linestatus)
+    row count, exact integer-valued quantity sum, and the derived mean."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t.column("sum_qty"), pc.cast(t.column("n"), pa.float64()))
+        return t.append_column("avg_qty", avg)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- training-data ops ------------------------------------------------------
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup groups on documents.text (md5 identity)."""
+    from osf_data_validator_tool_ray.checks.dedup import exact_dedup_groups
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_groups(ds, "text", "doc_id")
+
+
+def _q_token_counts(sf_dir: str):
+    """Token counting per document ([A-Za-z0-9]+ runs)."""
+    from osf_data_validator_tool_ray.functions.text import token_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = token_counts(batch.column("text").to_pandas())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    """Quality-scoring features (integer-valued subset for oracle parity)."""
+    from osf_data_validator_tool_ray.functions.text import quality_features
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_features(batch.column("text").to_pandas())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(q["n_chars"].to_numpy(), type=pa.int64()),
+            "n_words": pa.array(q["n_words"].to_numpy(), type=pa.int64()),
+            "n_stopwords": pa.array(q["n_stopwords"].to_numpy(), type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    """Language-ID heuristic (no SQL oracle — marker-word scoring)."""
+    from osf_data_validator_tool_ray.functions.text import lang_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lg = lang_id(batch.column("text").to_pandas())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pred_lang": pa.array(lg, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_fingerprints(sf_dir: str):
+    """Winnowing fingerprint count per document (no SQL oracle)."""
+    from osf_data_validator_tool_ray.functions.text import winnow_fingerprints
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(winnow_fingerprints(t)) for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_fingerprints": pa.array(n, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (no SQL oracle)."""
+    from osf_data_validator_tool_ray.checks.dedup import minhash_near_dup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, hamming <= 3 (no SQL oracle)."""
+    from osf_data_validator_tool_ray.checks.dedup import simhash_near_dup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 3 embeddings as queries."""
+    import pyarrow.parquet as pq
+    from osf_data_validator_tool_ray.checks.similarity import ann_topk_bruteforce
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries = np.stack([np.asarray(v, dtype=np.float32) for v in qt.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = ann_topk_bruteforce(ds, "embedding", "vec_id", queries, k=5)
+    df = top.to_pandas()
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding near-dup pairs (SRP-LSH bucketed; no SQL oracle)."""
+    from osf_data_validator_tool_ray.checks.similarity import embedding_near_dup_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.9)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "facet_bounds": _q_facet_bounds,
+        "enum_domain": _q_enum_domain,
+        "card_max": _q_card_max,
+        "card_min": _q_card_min,
+        "card_exact": _q_card_exact,
+        "card_max_qualified": _q_card_max_qualified,
+        "existential_missing": _q_existential,
+        "universal_counterexamples": _q_universal,
+        "ri_missing": _q_ri_missing,
+        "zero_edge": _q_zero_edge,
+        "uniqueness": _q_uniqueness,
+        "cross_domain": _q_cross_domain,
+        "distinct_counts": _q_distinct_counts,
+        "group_stats": _q_group_stats,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_features": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "facet_bounds": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity < 2 OR l_quantity > 48
+        """,
+        "enum_domain": """
+            SELECT DISTINCT l_returnflag FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N')
+        """,
+        "card_max": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) > 5
+        """,
+        "card_min": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) < 2
+        """,
+        "card_exact": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) <> 4
+        """,
+        "card_max_qualified": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            WHERE l_returnflag = 'R'
+            GROUP BY l_orderkey HAVING COUNT(*) > 3
+        """,
+        "existential_missing": """
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+        """,
+        "universal_counterexamples": """
+            SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        """,
+        "ri_missing": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+        """,
+        "zero_edge": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "uniqueness": """
+            SELECT o_orderkey, COUNT(*) AS n FROM orders
+            GROUP BY o_orderkey HAVING COUNT(*) > 1
+        """,
+        "cross_domain": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type = 'purchase' AND value < 1.0
+        """,
+        "distinct_counts": """
+            SELECT COUNT(DISTINCT l_partkey) AS n_l_partkey,
+                   COUNT(DISTINCT l_suppkey) AS n_l_suppkey
+            FROM lineitem
+        """,
+        "group_stats": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_features": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   length(regexp_extract_all(lower(text), '\b(the|and|of|a|to)\b')) AS n_stopwords
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.qe AS DOUBLE[])) AS s
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, rank, ROUND(s, 6) AS score
+            FROM ranked WHERE rank <= 5
+        """,
+    }

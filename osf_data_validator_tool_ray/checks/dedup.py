@@ -1,0 +1,237 @@
+"""Deduplication pipelines — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale training-data dedup expressed Ray-Data-first:
+
+  * exact: content-hash per batch (vectorized) -> ONE
+    groupby(hash) over per-batch partials (keep min id + count) — the
+    max-cardinality-1 check generalized to content identity.
+  * MinHash+LSH: shingle -> signature per row (map_batches) -> explode
+    to (band_id, band_key, id, sig) rows -> groupby((band_id, band_key))
+    -> pairwise candidates within buckets -> verify by signature
+    similarity (and optionally exact shingle Jaccard).  The band
+    explosion is the partitioning assumption: bucket sizes stay small
+    when bands*rows are sized for the target threshold (b=16, r=4 ~
+    t≈(1/b)^(1/r)≈0.5); a pathological bucket (all-identical docs) is
+    bounded by per-bucket pair caps.
+  * SimHash: 64-bit signature per row; exact-match groupby, or
+    hamming<=k via 16-bit band tables (4 bands catch all pairs with
+    hamming<=3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import text as T
+
+
+def _md5_col(texts: pd.Series) -> list[str]:
+    return [hashlib.md5(t.encode() if isinstance(t, str) else b"").hexdigest() for t in texts]
+
+
+def exact_dedup_groups(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """One row per distinct content hash: (text_hash, keep_id, n).
+    keep-first = min id; rows with n>1 are duplicate groups."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "text_hash": _md5_col(batch.column(text_col).to_pandas()),
+            "_id": batch.column(id_col).to_pandas(),
+        })
+        agg = df.groupby("text_hash", sort=False).agg(
+            keep_id=("_id", "min"), n=("_id", "size")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.select_columns([text_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n"))
+    )
+
+
+def exact_dedup_keep_first(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """The dedup itself: keep the min-id row per distinct content."""
+    groups = exact_dedup_groups(ds, text_col, id_col)
+    return groups.map_batches(lambda t: t.select(["keep_id"]), batch_format="pyarrow")
+
+
+class _MinHashStage:
+    """Actor-pool stage: shingle + MinHash signature + LSH band rows per
+    document.  Permutation params are built once per actor in __init__
+    (stateful setup amortized across batches)."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
+                 shingle_k: int, seed: int = 1):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.a, self.b = T._perm_params(num_perm, seed)
+
+    def _signature(self, sh: np.ndarray) -> np.ndarray:
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = sh % T._MERSENNE
+        # (num_perm, n) modular affine in uint64 via python-int fallback-free
+        # math: values < 2^61 so a*x needs 122 bits -> use object dtype once
+        prods = (self.a.astype(object)[:, None] * x.astype(object)[None, :]
+                 + self.b.astype(object)[:, None]) % T._MERSENNE
+        return prods.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        band_ids, band_keys, out_ids, sigs = [], [], [], []
+        for i, txt in enumerate(texts):
+            sh = T.char_shingle_hashes(txt, self.k)
+            sig = self._signature(sh)
+            keys = T.lsh_band_keys(sig, self.bands)
+            for bidx, bkey in enumerate(keys):
+                band_ids.append(bidx)
+                band_keys.append(bkey)
+                out_ids.append(ids[i])
+                sigs.append(sig.tobytes())
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_key": pa.array(band_keys, type=pa.uint64()),
+            "doc_id": pa.array(out_ids),
+            "sig": pa.array(sigs, type=pa.binary()),
+        })
+
+
+def minhash_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_pairs: int = 10_000,
+    concurrency: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Returns Dataset (id_a, id_b, est_jaccard) with id_a < id_b, deduped
+    across buckets.  Wall-clock shape: one map_batches (signatures,
+    bands=16x duplication of 8B*num_perm sig per doc), one groupby
+    exchange on (band_id, band_key), one dedup groupby on the pair key.
+    """
+    stage_kwargs = dict(batch_format="pyarrow")
+    if concurrency:
+        stage_kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(
+        _MinHashStage(text_col, id_col, num_perm, bands, shingle_k),
+        **stage_kwargs,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2:
+            idt = group["doc_id"].dtype
+            return pd.DataFrame({"id_a": pd.Series(dtype=idt),
+                                 "id_b": pd.Series(dtype=idt),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        if n * (n - 1) // 2 > max_bucket_pairs:
+            group = group.iloc[: int((2 * max_bucket_pairs) ** 0.5) + 1]
+            n = len(group)
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in group["sig"]])
+        ids = group["doc_id"].to_numpy()
+        ia, ib, js = [], [], []
+        for i in range(n):
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(eq >= threshold)
+            for j in hit:
+                a, b = ids[i], ids[i + 1 + j]
+                if b < a:
+                    a, b = b, a
+                ia.append(a); ib.append(b); js.append(float(eq[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": js})
+
+    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedup identical pairs discovered in multiple bands (keep max estimate)
+    from ray.data.aggregate import Max
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+class _SimHashStage:
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sims = np.array([T.simhash64(t) for t in texts], dtype=np.uint64)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(sims, type=pa.uint64()),
+        })
+
+
+def simhash_signatures(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
+    return ds.select_columns([text_col, id_col]).map_batches(
+        _SimHashStage(text_col, id_col), batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    4x16-bit band tables: any pair with hamming<=3 collides in >=1 band
+    (pigeonhole), so one groupby per... all four bands in ONE exchange by
+    exploding each doc to 4 (band_id, band_val) rows."""
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands_ids, band_vals, out_ids, out_sigs = [], [], [], []
+        for b in range(4):
+            band = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.uint32)
+            bands_ids.append(np.full(len(s), b, dtype=np.int32))
+            band_vals.append(band)
+            out_ids.append(ids)
+            out_sigs.append(s)
+        return pa.table({
+            "band_id": pa.array(np.concatenate(bands_ids)),
+            "band_val": pa.array(np.concatenate(band_vals)),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "simhash": pa.array(np.concatenate(out_sigs), type=pa.uint64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2:
+            idt = group["doc_id"].dtype
+            return pd.DataFrame({"id_a": pd.Series(dtype=idt),
+                                 "id_b": pd.Series(dtype=idt),
+                                 "hamming": pd.Series(dtype="int64")})
+        ids = group["doc_id"].to_numpy()
+        s = group["simhash"].to_numpy().astype(np.uint64)
+        ia, ib, hs = [], [], []
+        for i in range(n):
+            ham = T.hamming64(s[i], s[i + 1:])
+            hit = np.flatnonzero(np.asarray(ham) <= max_hamming)
+            for j in np.atleast_1d(hit):
+                a, b = ids[i], ids[i + 1 + j]
+                if b < a:
+                    a, b = b, a
+                ia.append(a); ib.append(b); hs.append(int(np.atleast_1d(ham)[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hs})
+
+    pairs = sigs.map_batches(explode, batch_format="pyarrow") \
+                .groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min as _Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))

@@ -39,9 +39,13 @@ from ..stages.base_ids import CARD_MIN_102, REF_EXISTENCE_100
 
 def _distinct_partial(col: str, tag: str):
     def fn(batch: pa.Table) -> pa.Table:
-        vals = pd.unique(batch.column(col).to_pandas().dropna())
+        # per-batch distinct = the combiner that keeps the exchange
+        # proportional to distinct keys; key dtype is preserved so int
+        # keys stay ints (both sides of the union must share the dtype)
+        vals = pa.array(pd.unique(batch.column(col).to_pandas().dropna()),
+                        type=batch.schema.field(col).type)
         return pa.table({
-            "key": pa.array(vals.astype(str), type=pa.string()),
+            "key": vals,
             "is_ref": pa.array(np.full(len(vals), 1 if tag == "ref" else 0, dtype=np.int8)),
             "is_key": pa.array(np.full(len(vals), 1 if tag == "key" else 0, dtype=np.int8)),
         })
@@ -126,4 +130,4 @@ def broadcast_membership_filter(
             return pa.table({"key": pa.array(miss, type=pa.string())})
 
     return refs.select_columns([ref_column]).map_batches(
-        Probe, batch_format="pyarrow", concurrency=4)
+        Probe, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * brute-force cosine top-k: the baseline — numpy matmul per batch
+    against a query matrix broadcast ONCE via ray.put (read in each
+    task from the object store, never re-shipped per batch), then a
+    tiny driver-side merge of per-batch top-k partials.
+  * LSH-bucketed (random hyperplanes): the scale path — each row gets a
+    sign-bit bucket; the search probes only the query's bucket and its
+    hamming-1 neighbors.  Recall/latency trade is the standard SRP-LSH
+    one (Charikar 2002).
+  * embedding near-dup: pairs with cosine >= tau within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    arr = batch.column(emb_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # zero-copy: fixed-length lists -> (n, d) view over the flat buffer
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKStage:
+    """Per-batch brute-force scorer.  The query matrix object ref is
+    resolved once per actor/task in __init__ (broadcast pattern)."""
+
+    def __init__(self, emb_col: str, id_col: str, query_ref, k: int):
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = np.asarray(q, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # score in float64 (dot/(|a||b|)) so results match a
+        # double-precision oracle bit-for-bit at 6 decimals
+        m = _batch_matrix(batch, self.emb_col).astype(np.float64)
+        q = self.q.astype(np.float64)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        dots = m @ q.T
+        denom = np.linalg.norm(m, axis=1, keepdims=True) * np.linalg.norm(q, axis=1)[None, :]
+        denom[denom == 0] = 1.0
+        scores = dots / denom                      # (n, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]   # (k, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            rows = top[:, qi]
+            out_q.append(np.full(k, qi, dtype=np.int32))
+            out_id.append(ids[rows])
+            out_s.append(scores[rows, qi].astype(np.float64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def ann_topk_bruteforce(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 5,
+) -> pa.Table:
+    """Exact cosine top-k: distributed partial top-k per batch, merged on
+    the driver (merge size = num_batches*nq*k rows — tiny)."""
+    query_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.select_columns([emb_col, id_col]).map_batches(
+        _TopKStage, batch_format="pyarrow",
+        fn_constructor_args=(emb_col, id_col, query_ref, k),
+        concurrency=(1, 4),   # autoscaling floor of 1: never starves the read stage
+    )
+    df = partials.to_pandas()
+    out = (
+        df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+def srp_bucket_bits(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection bucket id per row (uint32 bitmask)."""
+    signs = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.uint32)
+    return (signs.astype(np.uint32) * weights).sum(axis=1).astype(np.uint32)
+
+
+def ann_topk_lsh(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate top-k: probe only rows whose SRP bucket is the query's
+    bucket or differs in one bit (n_planes+1 buckets of ~N/2^n_planes
+    rows each).  Same partial-top-k merge as the brute-force path."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, q.shape[1])).astype(np.float32)
+    qb = srp_bucket_bits(q, planes)
+    probe: set[int] = set()
+    for b in qb:
+        probe.add(int(b))
+        for bit in range(n_planes):
+            probe.add(int(b) ^ (1 << bit))
+    probe_arr = np.array(sorted(probe), dtype=np.uint32)
+
+    planes_ref = ray.put(planes)
+    probe_ref = ray.put(probe_arr)
+
+    class Filter:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            buckets = srp_bucket_bits(m, self.planes)
+            mask = np.isin(buckets, self.probe)
+            return batch.filter(pa.array(mask))
+
+    candidates = ds.select_columns([emb_col, id_col]).map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, 4))
+    return ann_topk_bruteforce(candidates, emb_col, id_col, queries, k)
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    tau: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 13,
+    max_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """Pairs with cosine >= tau, found within SRP-LSH buckets (high-cosine
+    pairs land in the same bucket with prob (1-theta/pi)^n_planes).
+    Exact within-bucket verification via matmul."""
+    rng = np.random.default_rng(seed)
+    planes_ref = None  # created lazily with the right dim
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
+        m = _normalize(_batch_matrix(batch, emb_col))
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, m.shape[1])).astype(np.float32)
+        buckets = srp_bucket_bits(m, planes)
+        return pa.table({
+            "bucket": pa.array(buckets, type=pa.uint32()),
+            id_col: batch.column(id_col),
+            emb_col: batch.column(emb_col),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2:
+            idt = group[id_col].dtype
+            return pd.DataFrame({"id_a": pd.Series(dtype=idt),
+                                 "id_b": pd.Series(dtype=idt),
+                                 "cosine": pd.Series(dtype="float64")})
+        if n > max_bucket:
+            group = group.iloc[:max_bucket]
+            n = max_bucket
+        m = _normalize(np.stack(group[emb_col].to_numpy()).astype(np.float32))
+        ids = group[id_col].to_numpy()
+        s = m @ m.T
+        iu = np.triu_indices(n, k=1)
+        hit = s[iu] >= tau
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        swap = b < a
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cosine": s[iu][hit].astype(np.float64)})
+
+    pairs = ds.select_columns([emb_col, id_col]) \
+              .map_batches(assign, batch_format="pyarrow") \
+              .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

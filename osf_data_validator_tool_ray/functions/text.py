@@ -1,0 +1,214 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting,
+shingling, MinHash, SimHash.  All operate batch-at-a-time (pandas Series
+/ numpy in, numpy out) so they vectorize inside ``map_batches``.
+
+Algorithms are the standard public ones: MinHash (Broder 1997),
+LSH banding (Mining of Massive Datasets ch.3), SimHash (Charikar 2002),
+winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+# a BPE-ish pre-tokenizer split (GPT-2-style contractions + word/number/punct runs)
+BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+STOPWORDS = ("the", "and", "of", "a", "to")
+STOP_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS))
+PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def token_counts(texts: pd.Series) -> np.ndarray:
+    """Number of [A-Za-z0-9]+ tokens per text (word-ish count)."""
+    return texts.str.count(TOKEN_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def bpe_token_counts(texts: pd.Series) -> np.ndarray:
+    """Number of BPE-ish pre-tokens per text (token-budget estimation)."""
+    return texts.str.count(BPE_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def stopword_counts(texts: pd.Series) -> np.ndarray:
+    return texts.str.lower().str.count(STOP_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic document-quality features: length, word count, stopword
+    ratio, punctuation ratio, mean word length."""
+    n_chars = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_words = token_counts(texts)
+    n_stop = stopword_counts(texts)
+    n_punct = texts.str.count(PUNCT_RE).fillna(0).to_numpy(dtype=np.int64)
+    denom_w = np.maximum(n_words, 1)
+    denom_c = np.maximum(n_chars, 1)
+    return pd.DataFrame({
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_stopwords": n_stop,
+        "stop_ratio": n_stop / denom_w,
+        "punct_ratio": n_punct / denom_c,
+        "mean_word_len": n_chars / denom_w,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Language ID — common-word + script heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "una", "es"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"},
+}
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def lang_id(texts: pd.Series) -> np.ndarray:
+    """Best-effort language guess per text from marker-word hit rates and
+    CJK script detection; 'und' (undetermined) when nothing matches."""
+    out = np.full(len(texts), "und", dtype=object)
+    cjk = texts.str.count(_CJK_RE).fillna(0).to_numpy(dtype=np.int64)
+    lower = texts.str.lower().fillna("")
+    words = lower.str.findall(_WORD_RE)
+    scores = np.zeros((len(texts), len(_LANG_MARKERS)), dtype=np.float64)
+    langs = list(_LANG_MARKERS)
+    for j, lg in enumerate(langs):
+        markers = _LANG_MARKERS[lg]
+        scores[:, j] = words.map(
+            lambda ws: sum(w in markers for w in ws) / max(1, len(ws))
+        ).to_numpy(dtype=np.float64)
+    best = scores.argmax(axis=1)
+    best_score = scores.max(axis=1)
+    for i in range(len(texts)):
+        if cjk[i] > 0:
+            out[i] = "zh"
+        elif best_score[i] > 0.02:
+            out[i] = langs[best[i]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hashing / shingles / MinHash / SimHash / winnowing
+# ---------------------------------------------------------------------------
+
+def hash64(values) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string/any column
+    (pandas' SipHash-based hash_array; stable across processes for a
+    fixed hash_key)."""
+    arr = values.to_numpy() if isinstance(values, pd.Series) else np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key="0123456789abcdef").astype(np.uint64)
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-character shingle hashes of one text (uint64)."""
+    if not isinstance(text, str) or len(text) < k:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = np.power(257, np.arange(k, dtype=np.uint64), dtype=np.uint64)  # wraps mod 2^64
+    h = (win * mult).sum(axis=1)
+    h ^= h >> 33
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> 33
+    return np.unique(h)
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 1) -> np.ndarray:
+    """MinHash signature of a shingle-hash set: min over (a*x+b) mod p
+    per permutation.  Empty set -> all-max sentinel."""
+    if len(shingles) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = _perm_params(num_perm, seed)
+    x = shingles.astype(np.object_)  # python ints: exact 61-bit modular math
+    vals = np.empty((num_perm, len(shingles)), dtype=np.uint64)
+    for i in range(num_perm):
+        vals[i] = ((int(a[i]) * x + int(b[i])) % _MERSENNE).astype(np.uint64)
+    return vals.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """Split a signature into ``bands`` bands; hash each band to a bucket
+    key.  Docs sharing any (band_id, key) are candidate near-dups."""
+    rows = len(sig) // bands
+    out = []
+    for bidx in range(bands):
+        band = sig[bidx * rows:(bidx + 1) * rows]
+        h = np.uint64(1469598103934665603)
+        for v in band:
+            h = np.uint64((int(h) ^ int(v)) * 1099511628211 % (1 << 64))
+        out.append(int(h))
+    return out
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    if len(sh_a) == 0 and len(sh_b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
+    union = len(sh_a) + len(sh_b) - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> int:
+    """Charikar SimHash over word tokens: sign-sum of per-token 64-bit
+    hashes weighted by term frequency."""
+    if not isinstance(text, str) or not text:
+        return 0
+    toks = TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    hashes = hash64(uniq)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: "int | np.ndarray", b: "int | np.ndarray") -> np.ndarray:
+    """Vectorized popcount of XOR (bit-level unpack; no Python loop,
+    safe on empty arrays)."""
+    x = np.atleast_1d(np.bitwise_xor(np.asarray(a, dtype=np.uint64),
+                                     np.asarray(b, dtype=np.uint64)))
+    if x.size == 0:
+        return np.empty(0, dtype=np.int64)
+    bytes_view = x.astype(">u8").view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints: minimum shingle hash per sliding
+    window of ``window`` consecutive k-gram hashes (rightmost-min rule)."""
+    if not isinstance(text, str) or len(text) < k:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = np.power(257, np.arange(k, dtype=np.uint64), dtype=np.uint64)
+    h = (win * mult).sum(axis=1)
+    h ^= h >> 31
+    if len(h) <= window:
+        return np.unique([h.min()]).astype(np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1)).astype(np.uint64)

@@ -1,0 +1,151 @@
+"""Generic, reusable Ray-Data relational operators.
+
+These are the engine's check primitives exposed over ANY table (the
+driver contract in __ray_entry__.py runs them against the TPC-H-ish
+testdata for DuckDB cross-checks).  Each mirrors a reference dataflow
+shape (SURVEY.md §2.2):
+
+  * facet/row filters        <- per-value scalar validation loops
+  * group_count_having       <- `group by ?s having(count(...) <op> n)`
+    (CheckOwlRestrictionMax.php:152-165 and Min/Exact variants)
+  * existential_missing      <- owl:someValuesFrom anti-join
+    (CheckOwlRestrictionSome.php:149-163)
+  * universal_counterexamples<- owl:allValuesFrom negated filter
+    (CheckOwlRestrictionOnly.php:119-163)
+  * distinct set ops / anti-joins <- `select distinct` + `filter not exists`
+
+All are streaming: vectorized map_batches (pyarrow/pandas kernels) plus
+at most ONE hash exchange, always preceded by a per-batch partial
+aggregation (combiner) so the shuffle moves per-key partials, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def filter_rows(
+    ds: "ray.data.Dataset",
+    predicate: Callable[[pa.Table], "pa.ChunkedArray | np.ndarray"],
+    columns: Optional[Sequence[str]] = None,
+) -> "ray.data.Dataset":
+    """Vectorized row filter: keep rows where ``predicate(batch)`` is true.
+    Faster than ds.filter(row_fn) (which is per-row Python)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = predicate(batch)
+        if isinstance(mask, np.ndarray):
+            mask = pa.array(mask)
+        out = batch.filter(mask)
+        return out.select(list(columns)) if columns else out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_count_having(
+    ds: "ray.data.Dataset",
+    key: "str | list[str]",
+    op: str,
+    n: int,
+    count_alias: str = "n",
+    qualifier: Optional[Callable[[pa.Table], np.ndarray]] = None,
+) -> "ray.data.Dataset":
+    """`GROUP BY key HAVING count(*) <op> n`, with an optional row
+    qualifier (the owl:onDataRange analog: only qualifying rows count).
+
+    Two-phase: per-batch pandas groupby partial counts (combiner, breaks
+    key skew) -> one groupby(key).Sum -> vectorized HAVING filter.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ops = {"gt": np.greater, "lt": np.less, "ne": np.not_equal,
+           "eq": np.equal, "ge": np.greater_equal, "le": np.less_equal}
+    cmp = ops[op]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        if qualifier is not None:
+            df = df[qualifier(batch)]
+        agg = df.groupby(keys, sort=False, dropna=False).size().rename("_pn").reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(keys if len(keys) > 1 else keys[0]) \
+               .aggregate(Sum("_pn", alias_name=count_alias))
+
+    def having(t: pa.Table) -> pa.Table:
+        counts = t.column(count_alias).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(cmp(counts, n)))
+
+    return merged.map_batches(having, batch_format="pyarrow")
+
+
+def existential_missing(
+    ds: "ray.data.Dataset",
+    key: str,
+    predicate: Callable[[pa.Table], np.ndarray],
+) -> "ray.data.Dataset":
+    """Keys whose group contains NO row satisfying ``predicate``
+    (SOME-100 shape).  Same two-phase combiner pattern: per-batch
+    sum-of-predicate per key, one Sum exchange, filter == 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: batch.column(key).to_pandas(),
+                           "_sat": predicate(batch).astype(np.int64)})
+        agg = df.groupby(key, sort=False, dropna=False)["_sat"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(key).aggregate(Sum("_sat", alias_name="_sat"))
+
+    def none_satisfy(t: pa.Table) -> pa.Table:
+        m = t.column("_sat").to_numpy(zero_copy_only=False) == 0
+        return t.filter(pa.array(m)).select([key])
+
+    return merged.map_batches(none_satisfy, batch_format="pyarrow")
+
+
+def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
+    """Global DISTINCT of one column: per-batch unique partial (combiner)
+    then one groupby — the `select distinct ?p` shape
+    (CheckPropertiesDefined.php:40-51)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pa.array(pd.unique(batch.column(column).to_pandas()),
+                        type=batch.schema.field(column).type)
+        return pa.table({column: vals})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(column).aggregate(Count(alias_name="_c")) \
+             .map_batches(lambda t: t.select([column]), batch_format="pyarrow")
+
+
+def distinct_counts(ds: "ray.data.Dataset", columns: Sequence[str]) -> pa.Table:
+    """Exact COUNT(DISTINCT col) for several columns in one pass:
+    per-batch set partials -> merge on driver (sets of distinct values,
+    bounded by key cardinality; the approximate tier for unbounded
+    cardinality is functions.sketches.HyperLogLog)."""
+
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            u = pd.unique(batch.column(c).to_pandas().dropna())
+            out[c] = [u.tolist()]
+        return pa.table(out)
+
+    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+    sets: dict[str, set] = {c: set() for c in cols}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            for lst in b.column(c).to_pylist():
+                sets[c].update(lst)
+    return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64()) for c in cols})

@@ -1,0 +1,91 @@
+"""Dedup + similarity pipelines on tables with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from osf_data_validator_tool_ray.checks.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from osf_data_validator_tool_ray.checks.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+
+def _docs():
+    rng = np.random.default_rng(5)
+    texts, ids = [], []
+    for i in range(60):
+        texts.append(" ".join(str(rng.integers(0, 500)) for _ in range(80)))
+        ids.append(i)
+    # plant exact dup of 3 and near dup of 7
+    texts.append(texts[3]); ids.append(100)
+    texts.append(texts[7][:-15] + " slightly changed"); ids.append(101)
+    return ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(3)
+
+
+def test_exact_dedup():
+    ds = _docs()
+    groups = exact_dedup_groups(ds, "text", "doc_id").to_pandas()
+    dups = groups[groups.n > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keep_id"] == 3 and dups.iloc[0]["n"] == 2
+    assert groups.n.sum() == 62
+
+
+def test_minhash_near_dups():
+    ds = _docs()
+    pairs = minhash_near_dup_pairs(ds, "text", "doc_id", num_perm=64, bands=16,
+                                   threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (3, 100) in found          # exact dup certainly found
+    assert (7, 101) in found          # near dup found
+    # no wild false positives among random docs
+    assert len(found) <= 4
+
+
+def test_simhash_near_dups():
+    ds = _docs()
+    pairs = simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=6).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (3, 100) in found
+    ham = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert ham[(3, 100)] == 0
+
+
+def _embs():
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((200, 32)).astype(np.float32)
+    m[50] = m[10] + rng.standard_normal(32).astype(np.float32) * 0.01   # near-dup pair
+    ids = np.arange(200)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(m), type=pa.list_(pa.float32()))})
+    return ray.data.from_arrow(tbl).repartition(3), m
+
+
+def test_ann_bruteforce_topk():
+    ds, m = _embs()
+    top = ann_topk_bruteforce(ds, "embedding", "vec_id", m[:2], k=3).to_pandas()
+    assert len(top) == 6
+    # rank 1 for each query is the query itself (cosine 1)
+    r1 = top[top["rank"] == 1].sort_values("query_id")
+    assert r1["vec_id"].tolist() == [0, 1]
+    assert np.allclose(r1["score"], 1.0)
+
+
+def test_ann_lsh_recall_of_self():
+    ds, m = _embs()
+    top = ann_topk_lsh(ds, "embedding", "vec_id", m[5:6], k=3, n_planes=6).to_pandas()
+    assert top[top["rank"] == 1]["vec_id"].iloc[0] == 5
+
+
+def test_embedding_near_dup_pairs():
+    ds, m = _embs()
+    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.98).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (10, 50) in found
