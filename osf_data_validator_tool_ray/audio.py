@@ -145,6 +145,24 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     return pcm, h["sr_hz"]
 
 
+def decode_ints(buf: bytes) -> tuple[np.ndarray, int, str]:
+    """Encoded WAV bytes -> (integer-domain samples, sr_hz, codec).
+
+    The integer samples (int16 for pcm_s16le/ulaw-decoded, uint8 raw for
+    pcm_u8) are bit-exact regardless of float rounding, so their hash is
+    the per-row parity token compared against the naive oracle decoder.
+    """
+    h = parse_header(buf)
+    raw = buf[h["data_offset"]:h["data_offset"] + h["data_len"]]
+    if h["format_tag"] == WAVE_FORMAT_PCM and h["bits"] == 16:
+        return np.frombuffer(raw, dtype="<i2"), h["sr_hz"], "pcm_s16le"
+    if h["format_tag"] == WAVE_FORMAT_PCM and h["bits"] == 8:
+        return np.frombuffer(raw, dtype=np.uint8), h["sr_hz"], "pcm_u8"
+    if h["format_tag"] == WAVE_FORMAT_MULAW and h["bits"] == 8:
+        return mulaw_decode(np.frombuffer(raw, dtype=np.uint8)), h["sr_hz"], "ulaw"
+    raise DecodeError(f"unsupported format tag={h['format_tag']} bits={h['bits']}")
+
+
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of `test` against `reference`, in dB."""
     n = min(len(reference), len(test))

@@ -1,0 +1,147 @@
+"""Distribution-drift checks (KS / PSI) against a baseline profile.
+
+The "ontology" analog here is a *baseline profile* artifact: per-column
+streaming histograms (numeric), frequency tables (categorical) and HLL
+sketches (cardinality), built once from a reference run and stored as a
+small JSON/pickle file.  A validation run rebuilds the same profile from
+the current table — per-block partials in ONE map_batches, merged
+driver-side (sketches are monoids; no shuffle) — and compares:
+
+  * numeric columns: KS statistic over merged histogram CDFs -> DRIFT-100
+  * categorical columns: PSI over frequency tables -> DRIFT-100
+  * key columns: HLL distinct-count ratio (dedup-rate drift)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.sketches import (
+    HyperLogLog,
+    StreamHist,
+    freq_table_psi,
+    ks_statistic,
+)
+from ..checks.base import empty_violations, make_violations
+from ..stages.base_ids import DRIFT_100
+
+
+@dataclass
+class TableProfile:
+    n_rows: int = 0
+    numeric: dict[str, StreamHist] = field(default_factory=dict)
+    categorical: dict[str, dict] = field(default_factory=dict)
+    distinct: dict[str, HyperLogLog] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "n_rows": self.n_rows,
+            "numeric": {c: base64.b64encode(h.to_bytes()).decode()
+                        for c, h in self.numeric.items()},
+            "categorical": self.categorical,
+            "distinct": {c: base64.b64encode(h.to_bytes()).decode()
+                         for c, h in self.distinct.items()},
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableProfile":
+        d = json.loads(s)
+        return cls(
+            n_rows=d["n_rows"],
+            numeric={c: StreamHist.from_bytes(base64.b64decode(v))
+                     for c, v in d["numeric"].items()},
+            categorical=d["categorical"],
+            distinct={c: HyperLogLog.from_bytes(base64.b64decode(v))
+                      for c, v in d["distinct"].items()},
+        )
+
+
+def build_profile(
+    ds: "ray.data.Dataset",
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    key_cols: Optional[list[str]] = None,
+    max_bins: int = 128,
+) -> TableProfile:
+    """One streaming pass; per-block sketch partials merged on the driver.
+    Partial size ~ KB/block regardless of block rows."""
+    key_cols = key_cols or []
+    cols = sorted(set(numeric_cols) | set(cat_cols) | set(key_cols))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prof = TableProfile(n_rows=batch.num_rows)
+        for c in numeric_cols:
+            h = StreamHist(max_bins)
+            h.update(batch.column(c).to_numpy(zero_copy_only=False))
+            prof.numeric[c] = h
+        for c in cat_cols:
+            vc = pd.Series(batch.column(c).to_pandas()).value_counts()
+            prof.categorical[c] = {str(k): int(v) for k, v in vc.items()}
+        for c in key_cols:
+            hll = HyperLogLog()
+            hll.update(batch.column(c).to_pandas())
+            prof.distinct[c] = hll
+        return pa.table({"profile": pa.array([prof.to_json()], type=pa.string())})
+
+    merged = TableProfile()
+    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s in b.column("profile").to_pylist():
+            p = TableProfile.from_json(s)
+            merged.n_rows += p.n_rows
+            for c, h in p.numeric.items():
+                merged.numeric[c] = merged.numeric[c].merge(h) if c in merged.numeric else h
+            for c, t in p.categorical.items():
+                acc = merged.categorical.setdefault(c, {})
+                for k, v in t.items():
+                    acc[k] = acc.get(k, 0) + v
+            for c, h in p.distinct.items():
+                merged.distinct[c] = merged.distinct[c].merge(h) if c in merged.distinct else h
+    return merged
+
+
+def drift_violations(
+    current: TableProfile,
+    baseline: TableProfile,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+) -> pa.Table:
+    out = []
+    for c, hist in current.numeric.items():
+        if c not in baseline.numeric:
+            continue
+        ks = ks_statistic(hist, baseline.numeric[c])
+        if ks > ks_threshold:
+            out.append(make_violations(DRIFT_100, [None], c, [f"ks={ks:.4f}"],
+                                       expected=f"ks<={ks_threshold}"))
+    for c, table in current.categorical.items():
+        if c not in baseline.categorical:
+            continue
+        v = freq_table_psi(baseline.categorical[c], table)
+        if v > psi_threshold:
+            out.append(make_violations(DRIFT_100, [None], c, [f"psi={v:.4f}"],
+                                       expected=f"psi<={psi_threshold}"))
+    for c, hll in current.distinct.items():
+        if c not in baseline.distinct:
+            continue
+        cur, base = hll.estimate(), baseline.distinct[c].estimate()
+        # normalize by row counts: distinct-per-row ratio drift
+        cur_r = cur / max(current.n_rows, 1)
+        base_r = base / max(baseline.n_rows, 1)
+        ratio = cur_r / max(base_r, 1e-12)
+        lo, hi = distinct_ratio_band
+        if not (lo <= ratio <= hi):
+            out.append(make_violations(DRIFT_100, [None], c,
+                                       [f"distinct_ratio={ratio:.3f}"],
+                                       expected=f"in [{lo},{hi}]"))
+    return pa.concat_tables(out) if out else empty_violations()

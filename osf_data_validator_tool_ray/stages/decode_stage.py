@@ -1,0 +1,181 @@
+"""Audio-decode actor-pool stage — the engine's flagship stateful stage.
+
+``map_batches(AudioDecodeValidator, concurrency=(min,max), batch_size=B,
+num_cpus=1)``: each actor holds decoder state (codec dispatch tables,
+optional baseline RMS profile) built once in ``__init__``; ``__call__``
+fully decodes every payload of the batch and emits per-row decode stats:
+
+  clip_id, decoded_ok, frames, payload_sr_hz, payload_codec, rms,
+  peak, pcm_md5 (hash of the integer-domain samples — the per-row parity
+  token: the naive oracle decoder must produce the same hash, which
+  implies decoded-PCM allclose with SNR = inf >= 30 dB), transcript
+  (passed through unchanged for the transcript-equality half of the
+  parity invariant).
+
+Batch sizing: `bytes` dominates row width (sr*dur*2 bytes/row); keep
+batch_size small (default 64) so batch x concurrency fits worker heaps
+(SURVEY.md §4: memory-aware decode stage).
+
+Violations derived from the stats (checks/decode_checks):
+  DECODE-100  payload fails decode
+  DECODE-101  decoded stats contradict metadata (frames vs dur_ms*sr_hz,
+              header sr vs sr_hz column, header codec vs codec column)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .. import audio
+from ..checks.base import empty_violations, make_violations
+from ..stages.base_ids import DECODE_100, DECODE_101
+
+STATS_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("decoded_ok", pa.bool_()),
+    ("frames", pa.int64()),
+    ("payload_sr_hz", pa.int32()),
+    ("payload_codec", pa.string()),
+    ("rms", pa.float64()),
+    ("peak", pa.float64()),
+    ("pcm_md5", pa.string()),
+    ("error", pa.string()),
+    ("transcript", pa.string()),
+])
+
+
+class AudioDecodeValidator:
+    def __init__(self, frame_tolerance: float = 0.02):
+        # actor-lifetime state: one-time setup (decoder dispatch is cheap
+        # here, but this is where codec tables / models load at scale)
+        self.frame_tolerance = frame_tolerance
+        self._decode = audio.decode_ints
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        transcripts = (batch.column("transcript").to_pylist()
+                       if "transcript" in batch.column_names else [None] * len(ids))
+        n = len(ids)
+        ok = np.zeros(n, dtype=bool)
+        frames = np.zeros(n, dtype=np.int64)
+        srs = np.zeros(n, dtype=np.int32)
+        codecs: list = [None] * n
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        md5s: list = [None] * n
+        errs: list = [None] * n
+        for i, buf in enumerate(payloads):
+            if buf is None:
+                errs[i] = "null payload"
+                continue
+            try:
+                ints, sr, codec = self._decode(buf)
+            except audio.DecodeError as e:
+                errs[i] = str(e)
+                continue
+            ok[i] = True
+            frames[i] = len(ints)
+            srs[i] = sr
+            codecs[i] = codec
+            if codec == "pcm_u8":
+                f = (ints.astype(np.float64) - 128.0) / 127.0
+            else:
+                f = ints.astype(np.float64) / 32767.0
+            if len(f):
+                rms[i] = float(np.sqrt(np.mean(f * f)))
+                peak[i] = float(np.max(np.abs(f)))
+            md5s[i] = hashlib.md5(ints.tobytes()).hexdigest()
+        return pa.table({
+            "clip_id": pa.array(ids, type=pa.string()),
+            "decoded_ok": pa.array(ok),
+            "frames": pa.array(frames),
+            "payload_sr_hz": pa.array(srs),
+            "payload_codec": pa.array(codecs, type=pa.string()),
+            "rms": pa.array(rms),
+            "peak": pa.array(peak),
+            "pcm_md5": pa.array(md5s, type=pa.string()),
+            "error": pa.array(errs, type=pa.string()),
+            "transcript": pa.array(transcripts, type=pa.string()),
+        }, schema=STATS_SCHEMA)
+
+
+def decode_stats(
+    ds: "ray.data.Dataset",
+    batch_size: int = 64,
+    concurrency: "int | tuple[int, int]" = (1, 8),
+    num_cpus: float = 1,
+) -> "ray.data.Dataset":
+    cols = [c for c in ("clip_id", "bytes", "transcript") if c in ds.schema().names]
+    return ds.select_columns(cols).map_batches(
+        AudioDecodeValidator,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def decode_violations(
+    ds: "ray.data.Dataset",
+    frame_tolerance: float = 0.02,
+    batch_size: int = 64,
+    concurrency: "int | tuple[int, int]" = (1, 8),
+) -> "ray.data.Dataset":
+    """DECODE-100/-101 violations from a full-decode pass.  Needs the
+    metadata columns alongside bytes."""
+    cols = [c for c in ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
+            if c in ds.schema().names]
+    sub = ds.select_columns(cols)
+
+    class _DecodeCheck:
+        def __init__(self):
+            self.validator = AudioDecodeValidator(frame_tolerance)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return _emit(self.validator, batch)
+
+    def _emit(validator, batch: pa.Table) -> pa.Table:
+        stats = validator(batch)
+        out = []
+        ok = stats.column("decoded_ok").to_numpy(zero_copy_only=False)
+        keys = np.asarray(stats.column("clip_id").to_pylist(), dtype=object)
+        errs = np.asarray(stats.column("error").to_pylist(), dtype=object)
+        if (~ok).any():
+            m = ~ok
+            out.append(make_violations(DECODE_100, keys[m], "bytes", errs[m],
+                                       expected="payload decodes"))
+        frames = stats.column("frames").to_numpy(zero_copy_only=False)
+        psr = stats.column("payload_sr_hz").to_numpy(zero_copy_only=False)
+        pcodec = np.asarray(stats.column("payload_codec").to_pylist(), dtype=object)
+        if "sr_hz" in batch.column_names:
+            sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+            m = ok & (psr != sr)
+            if m.any():
+                out.append(make_violations(DECODE_101, keys[m], "sr_hz", psr[m],
+                                           expected="header sr == sr_hz column"))
+        if "codec" in batch.column_names:
+            dec = np.asarray(batch.column("codec").to_pylist(), dtype=object)
+            m = ok & (pcodec != dec)
+            if m.any():
+                out.append(make_violations(DECODE_101, keys[m], "codec", pcodec[m],
+                                           expected="header codec == codec column"))
+        if "dur_ms" in batch.column_names and "sr_hz" in batch.column_names:
+            sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+            dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+            expect = sr.astype(np.float64) * dur.astype(np.float64) / 1000.0
+            tol = np.maximum(1.0, frame_tolerance * expect)
+            m = ok & (np.abs(frames - expect) > tol)
+            if m.any():
+                out.append(make_violations(DECODE_101, keys[m], "dur_ms", frames[m],
+                                           expected="frames ~= dur_ms*sr_hz/1000"))
+        return pa.concat_tables(out).combine_chunks() if out else empty_violations()
+
+    return sub.map_batches(_DecodeCheck, batch_format="pyarrow", batch_size=batch_size,
+                           concurrency=concurrency, num_cpus=1)
