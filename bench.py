@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) at
+$RAY_GRAFT_CPUS (default 32):
+
+  clips_suite   — the flagship: full validation suite (fused stateless
+                  pass + grouped shuffle + RI anti-join + decode actor
+                  pool) over a deterministic synthetic clips table sized
+                  to the scale factor (cached in /tmp across runs)
+  tpch_checks   — the relational check battery over the driver tables
+  dedup         — exact + MinHash-LSH dedup over documents
+  ann           — brute-force cosine top-k over embeddings
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "clips_per_sec": ...}
+
+`--scaling`: reruns the harness in fresh processes at 8 and 32 CPUs on
+the SAME input (page cache warmed) and reports both throughputs plus
+scaling efficiency (the sandbox stand-in for the N vs 4N node contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _clips_meta(sf: float) -> dict:
+    from osf_data_validator_tool_ray.synth import write_clips_dataset
+    n = max(2000, int(200_000 * sf))        # sf0.1 -> 20k clips
+    out = f"/tmp/osfdvt_bench_clips_n{n}"
+    return write_clips_dataset(out, n_rows=n, seed=42, defect_rate=0.01,
+                               num_shards=32, max_dur_ms=1200)
+
+
+def bench_clips_suite(meta: dict) -> dict:
+    import ray.data
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+    from osf_data_validator_tool_ray.spec import clips_spec
+
+    from osf_data_validator_tool_ray.pipelines.runner import metadata_columns
+
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    t0 = time.time()
+    spec = clips_spec()
+    ds = ray.data.read_parquet(meta["clips_dir"])
+    # metadata/refs are tiny once bytes is pruned: cap block counts so the
+    # per-task fixed overhead doesn't dominate the small branches
+    meta_ds = ray.data.read_parquet(meta["clips_dir"], columns=metadata_columns(spec),
+                                    override_num_blocks=ncpu)
+    refs = ray.data.read_parquet(meta["refs_path"], override_num_blocks=max(2, ncpu // 4))
+    res = run_suite(ds, spec, refs={"refs": refs}, decode=True,
+                    decode_concurrency=(1, 24), metadata_ds=meta_ds)
+    n_viol = res.violations.count()
+    dt = time.time() - t0
+    return {"sec": dt, "n_rows": meta["n_rows"], "n_violations": n_viol,
+            "clips_per_sec": meta["n_rows"] / dt}
+
+
+def bench_tpch_checks(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    names = ["facet_bounds", "card_max", "card_exact", "existential_missing",
+             "universal_counterexamples", "ri_missing", "group_stats",
+             "distinct_counts"]
+    t0 = time.time()
+    total_rows = 0
+    for name in names:
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            total_rows += res.count()
+        else:
+            total_rows += len(res)
+    return {"sec": time.time() - t0, "result_rows": total_rows}
+
+
+def bench_dedup(sf_dir: str) -> dict:
+    import ray.data
+    from osf_data_validator_tool_ray.checks.dedup import (
+        exact_dedup_groups, minhash_near_dup_pairs)
+    t0 = time.time()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n1 = exact_dedup_groups(docs, "text", "doc_id").count()
+    docs2 = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+    n2 = minhash_near_dup_pairs(docs2, "text", "doc_id").count()
+    return {"sec": time.time() - t0, "groups": n1, "pairs": n2}
+
+
+def bench_ann(sf_dir: str) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from osf_data_validator_tool_ray.checks.similarity import ann_topk_bruteforce
+    t0 = time.time()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qt.column("embedding").to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    top = ann_topk_bruteforce(ds, "embedding", "vec_id", queries, k=10)
+    return {"sec": time.time() - t0, "rows": top.num_rows}
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    # synthesize/caches clips BEFORE ray.init so the timed section is
+    # pure pipeline execution (also warms the page cache)
+    meta = _clips_meta(sf)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    queries = {}
+    r = bench_clips_suite(meta)
+    queries["clips_suite"] = round(r["sec"], 3)
+    clips_per_sec = r["clips_per_sec"]
+    queries["tpch_checks"] = round(bench_tpch_checks(sf_dir)["sec"], 3)
+    queries["dedup"] = round(bench_dedup(sf_dir)["sec"], 3)
+    queries["ann"] = round(bench_ann(sf_dir)["sec"], 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "validation_engine_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "clips_per_sec": round(clips_per_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)            # warm page cache / synth cache, untimed
+    lo = run(8)
+    hi = run(32)
+    # throughput-based efficiency on the flagship pipeline
+    thr_lo = lo["clips_per_sec"]
+    thr_hi = hi["clips_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "cpus_lo": 8, "cpus_hi": 32,
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "clips_per_sec_8": thr_lo, "clips_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

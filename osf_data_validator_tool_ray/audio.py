@@ -163,6 +163,30 @@ def decode_ints(buf: bytes) -> tuple[np.ndarray, int, str]:
     raise DecodeError(f"unsupported format tag={h['format_tag']} bits={h['bits']}")
 
 
+def binary_views(arr) -> list:
+    """Zero-copy per-row memoryviews over a pyarrow Binary(Chunked)Array's
+    data buffer — avoids to_pylist()'s full copy of the payload column
+    (the dominant cost at audio scale)."""
+    import pyarrow as pa
+
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    out = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        validity, offsets_buf, data_buf = chunk.buffers()
+        offsets = np.frombuffer(offsets_buf, dtype=np.int32)[
+            chunk.offset: chunk.offset + len(chunk) + 1]
+        mv = memoryview(data_buf)
+        nulls = chunk.is_null().to_numpy(zero_copy_only=False)
+        for i in range(len(chunk)):
+            if nulls[i]:
+                out.append(None)
+            else:
+                out.append(mv[offsets[i]:offsets[i + 1]])
+    return out
+
+
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of `test` against `reference`, in dB."""
     n = min(len(reference), len(test))

@@ -46,6 +46,19 @@ from ..stages.base_ids import (
 )
 
 
+def coalesce_partials(ds: "ray.data.Dataset", per_cpu: int = 1) -> "ray.data.Dataset":
+    """Coalesce combiner output before a hash exchange.
+
+    Partial-aggregate datasets inherit the input's block count (hundreds
+    of tiny blocks), and a groupby's cost scales with map-blocks x
+    reduce-partitions — fixed task overhead dominates.  Since partials
+    are orders of magnitude smaller than the input, coalescing them to
+    ~#CPU blocks is nearly free and collapses the exchange fan-out."""
+    import ray as _ray
+    n = max(2, int(_ray.cluster_resources().get("CPU", 8)) * per_cpu)
+    return ds.repartition(n)
+
+
 class _PartialAggregator:
     """Stage-1 combiner: batch -> one row per key with partial counts."""
 
@@ -76,6 +89,7 @@ def grouped_violations(
     ds: "ray.data.Dataset",
     spec: ConstraintSpec,
     batch_size: Optional[int] = None,
+    include_existentials: bool = True,
 ) -> Optional["ray.data.Dataset"]:
     """Run every same-key grouped constraint of ``spec`` in one shuffle.
 
@@ -95,10 +109,9 @@ def grouped_violations(
         if c.key == key and c.column in have
         and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= have)
     ]
-    exts = [
-        e for e in spec.existentials
-        if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have
-    ]
+    exts = ([e for e in spec.existentials
+             if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have]
+            if include_existentials else [])
     if not cards and not exts:
         return None
 
@@ -113,8 +126,9 @@ def grouped_violations(
     partials = ds.select_columns(sorted(needed)).map_batches(
         _PartialAggregator(key, cards, exts),
         batch_format="pyarrow",
-        **({"batch_size": batch_size} if batch_size else {}),
+        batch_size=batch_size,   # None = whole blocks: best combining ratio
     )
+    partials = coalesce_partials(partials)
     sums = [Sum(f"card{i}_n", alias_name=f"card{i}_n") for i in range(len(cards))]
     sums += [Sum(f"ext{j}_n", alias_name=f"ext{j}_n") for j in range(len(exts))]
     sums += [Sum("n_rows", alias_name="n_rows")]

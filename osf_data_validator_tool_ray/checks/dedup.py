@@ -82,12 +82,7 @@ class _MinHashStage:
     def _signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = sh % T._MERSENNE
-        # (num_perm, n) modular affine in uint64 via python-int fallback-free
-        # math: values < 2^61 so a*x needs 122 bits -> use object dtype once
-        prods = (self.a.astype(object)[:, None] * x.astype(object)[None, :]
-                 + self.b.astype(object)[:, None]) % T._MERSENNE
-        return prods.min(axis=1).astype(np.uint64)
+        return T._minhash_from_salts(sh.astype(np.uint64), self.a)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()

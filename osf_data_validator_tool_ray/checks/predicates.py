@@ -25,7 +25,7 @@ def nonempty_transcript(batch: pa.Table) -> np.ndarray:
 
 
 def _payloads(batch: pa.Table) -> list:
-    return batch.column("bytes").to_pylist()
+    return audio.binary_views(batch.column("bytes"))  # zero-copy views
 
 
 def decodable_bytes(batch: pa.Table) -> np.ndarray:

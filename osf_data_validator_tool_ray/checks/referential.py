@@ -63,11 +63,13 @@ def anti_join_missing(
     One hash exchange over per-batch-distinct partials; returns a Dataset
     with a single `key` column of missing values.
     """
+    from .cardinality import coalesce_partials
+
     r = refs.select_columns([ref_column]).map_batches(
-        _distinct_partial(ref_column, "ref"), batch_format="pyarrow")
+        _distinct_partial(ref_column, "ref"), batch_format="pyarrow", batch_size=None)
     k = keys.select_columns([key_column]).map_batches(
-        _distinct_partial(key_column, "key"), batch_format="pyarrow")
-    merged = r.union(k).groupby("key").aggregate(
+        _distinct_partial(key_column, "key"), batch_format="pyarrow", batch_size=None)
+    merged = coalesce_partials(r.union(k)).groupby("key").aggregate(
         Max("is_ref", alias_name="is_ref"), Max("is_key", alias_name="is_key"))
 
     def missing(t: pa.Table) -> pa.Table:

@@ -1,0 +1,127 @@
+"""CLI driver — the engine's analog of the reference `dvt` script
+(/root/reference/.../dvt: parse ini -> instantiate configured checks ->
+inject context -> run() -> optional fix() -> append XML/JSON report).
+
+    python -m osf_data_validator_tool_ray.cli \
+        --input '/data/clips/*.parquet' [--refs /data/refs.parquet] \
+        [--checkpoint-dir /ckpt] [--decode] [--fix --fix-dir /out] \
+        [--baseline-profile profile.json] [--output-json report.json] \
+        [--mode strict|loose] [--num-cpus 32]
+
+Differences from the reference, by design:
+  * checks run as streaming Ray Data pipelines, not sequential SPARQL
+  * reports are JSON only (the XML writer was an artifact of the OSF
+    stack); violations also land as a parquet sink for downstream use
+  * --fix quarantines rows instead of mutating the source (see
+    pipelines/fix.py)
+
+This script OWNS the Ray session (init guarded / shutdown at exit);
+library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="osf-dvt-ray")
+    ap.add_argument("--input", required=True, help="parquet glob of the clips table")
+    ap.add_argument("--refs", help="parquet path of the refs side table")
+    ap.add_argument("--checkpoint-dir", help="enable resumable partitioned run")
+    ap.add_argument("--decode", action="store_true", help="run the decode actor stage")
+    ap.add_argument("--fix", action="store_true", help="quarantine violating rows")
+    ap.add_argument("--fix-dir", default="/tmp/osfdvt_fix")
+    ap.add_argument("--baseline-profile", help="drift baseline JSON path")
+    ap.add_argument("--write-profile", help="write the current profile JSON here")
+    ap.add_argument("--output-json", help="report file (default: stdout)")
+    ap.add_argument("--output-xml", help="XML report file (reference dual-format analog)")
+    ap.add_argument("--violations-dir", help="violations parquet sink")
+    ap.add_argument("--mode", default="strict", choices=["strict", "loose"])
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+    from .spec import clips_spec
+    from .pipelines.runner import run_suite
+
+    spec = clips_spec(mode=args.mode)
+    report: dict = {}
+
+    if args.checkpoint_dir:
+        from .pipelines.partitioned import validate_partitioned
+        from .state.checkpoint import CheckpointStore
+        store = CheckpointStore(args.checkpoint_dir)
+        report = validate_partitioned(args.input, spec, store, decode=args.decode)
+    else:
+        from .pipelines.runner import metadata_columns
+        files = sorted(glob.glob(args.input))
+        ds = ray.data.read_parquet(files)
+        meta_ds = (ray.data.read_parquet(files, columns=metadata_columns(spec))
+                   if args.decode else None)
+        refs = {"refs": ray.data.read_parquet(args.refs)} if args.refs else None
+        res = run_suite(ds, spec, refs=refs, decode=args.decode, metadata_ds=meta_ds)
+        violations = res.violations
+        if args.violations_dir:
+            violations.write_parquet(args.violations_dir)
+            res.violations = ray.data.read_parquet(args.violations_dir)
+        report = res.report()
+        if args.output_xml:
+            with open(args.output_xml, "w") as f:
+                f.write(res.report_xml())
+
+    if args.baseline_profile or args.write_profile:
+        from .checks.drift import TableProfile, build_profile, drift_violations
+        ds = ray.data.read_parquet(sorted(glob.glob(args.input)))
+        prof = build_profile(ds, numeric_cols=["dur_ms"],
+                             cat_cols=["codec", "sr_hz"], key_cols=["clip_id"])
+        if args.write_profile:
+            with open(args.write_profile, "w") as f:
+                f.write(prof.to_json())
+        if args.baseline_profile:
+            with open(args.baseline_profile) as f:
+                base = TableProfile.from_json(f.read())
+            dv = drift_violations(prof, base).to_pandas()
+            report["drift"] = {"n_violations": len(dv),
+                               "columns": sorted(set(dv["column"]))}
+
+    if args.fix:
+        from .pipelines.fix import quarantine
+        ds = ray.data.read_parquet(sorted(glob.glob(args.input)))
+        if args.checkpoint_dir:
+            from .state.checkpoint import CheckpointStore
+            store = CheckpointStore(args.checkpoint_dir)
+            vfiles = []
+            for d in store.artifact_dirs("violations"):
+                vfiles.extend(glob.glob(os.path.join(d, "*.parquet")))
+            bad = (ray.data.read_parquet(vfiles).to_pandas()["key"].dropna().unique()
+                   if vfiles else [])
+        else:
+            bad = res.violations.to_pandas()["key"].dropna().unique()
+        report["fix"] = quarantine(ds, list(bad), spec.key_column or "clip_id",
+                                   os.path.join(args.fix_dir, "clean"),
+                                   os.path.join(args.fix_dir, "quarantine"))
+
+    out = json.dumps(report, indent=1, default=str)
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    ray.shutdown()
+    return 0 if report.get("pass") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

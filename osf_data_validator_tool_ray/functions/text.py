@@ -124,24 +124,38 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a strong vectorized 64-bit mixer (wrapping
+    uint64 arithmetic is intentional)."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation 64-bit salts (returned twice for signature
+    compatibility).  Each 'permutation' is x -> mix64(x ^ salt_i): an
+    affine family never wraps for small operands (order-preserving =>
+    every permutation picks the same min), so a full-width mixer is used
+    instead."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    return a, b
+    salts = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
+    return salts, salts
+
+
+def _minhash_from_salts(shingles: np.ndarray, salts: np.ndarray) -> np.ndarray:
+    vals = _mix64(shingles[None, :] ^ salts[:, None])
+    return vals.min(axis=1)
 
 
 def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 1) -> np.ndarray:
-    """MinHash signature of a shingle-hash set: min over (a*x+b) mod p
-    per permutation.  Empty set -> all-max sentinel."""
+    """MinHash signature of a shingle-hash set: min over mix64(x ^ salt)
+    per permutation, fully vectorized (num_perm x n broadcast).
+    Empty set -> all-max sentinel."""
     if len(shingles) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    a, b = _perm_params(num_perm, seed)
-    x = shingles.astype(np.object_)  # python ints: exact 61-bit modular math
-    vals = np.empty((num_perm, len(shingles)), dtype=np.uint64)
-    for i in range(num_perm):
-        vals[i] = ((int(a[i]) * x + int(b[i])) % _MERSENNE).astype(np.uint64)
-    return vals.min(axis=1)
+    salts, _ = _perm_params(num_perm, seed)
+    return _minhash_from_salts(shingles.astype(np.uint64), salts)
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:

@@ -47,7 +47,7 @@ def filter_rows(
         out = batch.filter(mask)
         return out.select(list(columns)) if columns else out
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def group_count_having(
@@ -76,7 +76,8 @@ def group_count_having(
         agg = df.groupby(keys, sort=False, dropna=False).size().rename("_pn").reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
+    from ..checks.cardinality import coalesce_partials
+    merged = coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
                .groupby(keys if len(keys) > 1 else keys[0]) \
                .aggregate(Sum("_pn", alias_name=count_alias))
 
@@ -102,7 +103,8 @@ def existential_missing(
         agg = df.groupby(key, sort=False, dropna=False)["_sat"].sum().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
+    from ..checks.cardinality import coalesce_partials
+    merged = coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
                .groupby(key).aggregate(Sum("_sat", alias_name="_sat"))
 
     def none_satisfy(t: pa.Table) -> pa.Table:
@@ -122,7 +124,8 @@ def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
                         type=batch.schema.field(column).type)
         return pa.table({column: vals})
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
+    from ..checks.cardinality import coalesce_partials
+    return coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
              .groupby(column).aggregate(Count(alias_name="_c")) \
              .map_batches(lambda t: t.select([column]), batch_format="pyarrow")
 
@@ -142,7 +145,7 @@ def distinct_counts(ds: "ray.data.Dataset", columns: Sequence[str]) -> pa.Table:
             out[c] = [u.tolist()]
         return pa.table(out)
 
-    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow", batch_size=None)
     sets: dict[str, set] = {c: set() for c in cols}
     for b in parts.iter_batches(batch_format="pyarrow"):
         for c in cols:

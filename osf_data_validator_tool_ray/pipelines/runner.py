@@ -62,6 +62,28 @@ class SuiteResult:
             )
         return self._counts
 
+    def report_xml(self, sample: int = 20) -> str:
+        """XML report — mirrors the reference's dual XML/JSON report
+        surface (dvt:174-191): a <checks> document, one <check> element
+        per check id with status + violation sample."""
+        import xml.etree.ElementTree as ET
+
+        rep = self.report(sample=sample)
+        root = ET.Element("checks")
+        by_check: dict[str, list[dict]] = {}
+        for row in rep["violations_sample"]:
+            by_check.setdefault(row["check_id"], []).append(row)
+        for cid, info in rep["checks"].items():
+            el = ET.SubElement(root, "check", id=cid,
+                               status="pass" if info["pass"] else "fail",
+                               violations=str(info["n_violations"]))
+            for row in by_check.get(cid, []):
+                ET.SubElement(el, "violation", severity=str(row["severity"]),
+                              key=str(row["key"]), column=str(row["column"]),
+                              observed=str(row["observed"]),
+                              expected=str(row["expected"]))
+        return ET.tostring(root, encoding="unicode")
+
     def report(self, sample: int = 20) -> dict:
         counts = {r["check_id"]: int(r["n"]) for _, r in self.violation_counts().iterrows()}
         checks = {
@@ -76,6 +98,24 @@ class SuiteResult:
         }
 
 
+def metadata_columns(spec: ConstraintSpec) -> list[str]:
+    """Every non-payload column the metadata branches touch — callers
+    should build ``metadata_ds`` with read_parquet(columns=these) so the
+    wide binary column is pruned AT THE READ (Ray's optimizer does not
+    push a later select_columns into the parquet scan)."""
+    cols = set(stateless_columns(spec, skip_columns=("bytes",),
+                                 include_universals=False))
+    for c in spec.cardinalities:
+        cols.add(c.column)
+        if c.qualifier:
+            from ..checks.predicates import PREDICATE_COLUMNS
+            cols |= PREDICATE_COLUMNS[c.qualifier]
+    if spec.key_column:
+        cols.add(spec.key_column)
+    cols.discard("bytes")
+    return sorted(cols)
+
+
 def run_suite(
     ds: "ray.data.Dataset",
     spec: ConstraintSpec,
@@ -83,9 +123,19 @@ def run_suite(
     expected_keys: Optional["ray.data.Dataset"] = None,
     expected_key_column: str = "key",
     batch_size: Optional[int] = None,
+    decode: bool = False,
+    decode_concurrency: "int | tuple[int, int]" = (1, 16),
+    metadata_ds: Optional["ray.data.Dataset"] = None,
 ) -> SuiteResult:
     """Plan every check of ``spec`` against ``ds``; everything stays lazy
-    until the caller consumes the violations Dataset / report."""
+    until the caller consumes the violations Dataset / report.
+
+    decode=True fuses ALL payload-derived checks (universal predicates,
+    bytes facets, DECODE-100/101, the decodable existential) into ONE
+    actor-pool scan of the `bytes` column (bytes_suite_pass) — the wide
+    binary column is then never read by any other stage.  decode=False
+    keeps the cheap header-sniff predicates inside the stateless pass.
+    """
     actual_schema = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else None
     if actual_schema is None:
         names = ds.schema().names
@@ -98,27 +148,40 @@ def run_suite(
     ])
 
     parts: list["ray.data.Dataset"] = []
+    meta_ds = metadata_ds if (metadata_ds is not None and decode) else ds
 
-    cols = [c for c in stateless_columns(spec) if c in actual_schema.names]
-    stateless = ds.select_columns(cols).map_batches(
-        StatelessValidator(spec),
+    skip = ("bytes",) if decode else ()
+    cols = [c for c in stateless_columns(spec, skip_columns=skip,
+                                         include_universals=not decode)
+            if c in actual_schema.names]
+    stateless = meta_ds.select_columns(cols).map_batches(
+        StatelessValidator(spec, skip_columns=skip, include_universals=not decode),
         batch_format="pyarrow",
         **({"batch_size": batch_size} if batch_size else {}),
     )
     parts.append(stateless)
 
-    grouped = grouped_violations(ds, spec, batch_size=batch_size)
+    if decode and "bytes" in actual_schema.names:
+        from ..stages.decode_stage import (
+            bytes_suite_pass, existential_violations_from_partials)
+        bytes_v, ext_partials = bytes_suite_pass(ds, concurrency=decode_concurrency)
+        parts.append(bytes_v)
+        if any(e.predicate == "decodable_bytes" for e in spec.existentials):
+            parts.append(existential_violations_from_partials(ext_partials))
+
+    grouped = grouped_violations(meta_ds, spec, batch_size=batch_size,
+                                 include_existentials=not decode)
     if grouped is not None:
         parts.append(grouped)
 
     for ri in spec.ref_integrity:
         if refs and ri.ref_table in refs:
             parts.append(ref_existence_violations(
-                refs[ri.ref_table], ri.ref_column, ds, ri.key_column))
+                refs[ri.ref_table], ri.ref_column, meta_ds, ri.key_column))
 
     if expected_keys is not None and spec.key_column:
         parts.append(zero_edge_violations(
-            expected_keys, expected_key_column, ds, spec.key_column))
+            expected_keys, expected_key_column, meta_ds, spec.key_column))
 
     violations = parts[0]
     for p in parts[1:]:

@@ -29,6 +29,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -59,7 +60,7 @@ class AudioDecodeValidator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("clip_id").to_pylist()
-        payloads = batch.column("bytes").to_pylist()
+        payloads = audio.binary_views(batch.column("bytes"))  # zero-copy
         transcripts = (batch.column("transcript").to_pylist()
                        if "transcript" in batch.column_names else [None] * len(ids))
         n = len(ids)
@@ -179,3 +180,139 @@ def decode_violations(
 
     return sub.map_batches(_DecodeCheck, batch_format="pyarrow", batch_size=batch_size,
                            concurrency=concurrency, num_cpus=1)
+
+
+def bytes_suite_pass(
+    ds: "ray.data.Dataset",
+    frame_tolerance: float = 0.02,
+    batch_size: int = 256,
+    concurrency: "int | tuple[int, int]" = (1, 16),
+):
+    """ONE actor-pool scan of the payload column that yields everything
+    any check needs from `bytes`:
+
+      * DECODE-100/-101 violations (undecodable; stats contradict metadata)
+      * ONLY-100 counterexamples for bytes_matches_codec / frames_match_dur
+        (universal checks — full decode subsumes the header sniff)
+      * DATATYPE-FACET-101 for the bytes not_null / not_empty facets
+      * per-(clip_id, batch) partial counts of decodable rows — the
+        combiner input for the SOME-100 existential groupby
+
+    Returns (violations_ds, ext_partials_ds).  The combined per-batch
+    output is tiny (no payloads), so it is materialized once and split —
+    without the materialize, each downstream branch would re-execute the
+    whole decode scan (Ray Data re-runs lineage per consumer).
+    """
+    import pandas as pd
+
+    cols = [c for c in ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
+            if c in ds.schema().names]
+    sub = ds.select_columns(cols)
+
+    class _FullPass:
+        def __init__(self):
+            self.validator = AudioDecodeValidator(frame_tolerance)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            stats = self.validator(batch)
+            out = []
+            ok = stats.column("decoded_ok").to_numpy(zero_copy_only=False)
+            keys = np.asarray(stats.column("clip_id").to_pylist(), dtype=object)
+            errs = np.asarray(stats.column("error").to_pylist(), dtype=object)
+            frames = stats.column("frames").to_numpy(zero_copy_only=False)
+            psr = stats.column("payload_sr_hz").to_numpy(zero_copy_only=False)
+            pcodec = np.asarray(stats.column("payload_codec").to_pylist(), dtype=object)
+
+            if (~ok).any():
+                m = ~ok
+                out.append(make_violations(DECODE_100, keys[m], "bytes", errs[m],
+                                           expected="payload decodes"))
+                null_m = errs == "null payload"
+                if null_m.any():
+                    out.append(make_violations(
+                        "DATATYPE-FACET-101", keys[null_m], "bytes",
+                        [None] * int(null_m.sum()), expected="binary:not_null"))
+            if "codec" in batch.column_names:
+                dec = np.asarray(batch.column("codec").to_pylist(), dtype=object)
+                m = ok & (pcodec != dec)
+                if m.any():
+                    out.append(make_violations(DECODE_101, keys[m], "codec", pcodec[m],
+                                               expected="header codec == codec column"))
+                # universal ONLY-100: every payload container matches codec
+                only_m = ~(ok & (pcodec == dec))
+                if only_m.any():
+                    out.append(make_violations(
+                        "ONLY-100", keys[only_m], "bytes_matches_codec",
+                        pcodec[only_m],
+                        expected="all rows satisfy bytes_matches_codec"))
+            if "sr_hz" in batch.column_names:
+                sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+                m = ok & (psr != sr)
+                if m.any():
+                    out.append(make_violations(DECODE_101, keys[m], "sr_hz", psr[m],
+                                               expected="header sr == sr_hz column"))
+                if "dur_ms" in batch.column_names:
+                    dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+                    expect = sr.astype(np.float64) * dur.astype(np.float64) / 1000.0
+                    tol = np.maximum(1.0, frame_tolerance * expect)
+                    m = ok & (np.abs(frames - expect) > tol)
+                    if m.any():
+                        out.append(make_violations(DECODE_101, keys[m], "dur_ms",
+                                                   frames[m],
+                                                   expected="frames ~= dur_ms*sr_hz/1000"))
+                        out.append(make_violations(
+                            "ONLY-100", keys[m], "frames_match_dur", frames[m],
+                            expected="all rows satisfy frames_match_dur"))
+            v = (pa.concat_tables(out).combine_chunks() if out
+                 else empty_violations())
+            # existential partial: decodable count per key in this batch
+            pdf = pd.DataFrame({"key": keys, "_ok": ok.astype(np.int64)})
+            part = pdf.groupby("key", sort=False)["_ok"].sum().reset_index()
+            v = v.append_column("_rowtype", pa.array(["v"] * v.num_rows, type=pa.string()))
+            v = v.append_column("_ext_n", pa.array([0] * v.num_rows, type=pa.int64()))
+            p = pa.table({
+                "check_id": pa.array([None] * len(part), type=pa.string()),
+                "severity": pa.array([None] * len(part), type=pa.string()),
+                "key": pa.array(part["key"].astype(object), type=pa.string()),
+                "column": pa.array([None] * len(part), type=pa.string()),
+                "observed": pa.array([None] * len(part), type=pa.string()),
+                "expected": pa.array([None] * len(part), type=pa.string()),
+                "_rowtype": pa.array(["p"] * len(part), type=pa.string()),
+                "_ext_n": pa.array(part["_ok"].to_numpy(), type=pa.int64()),
+            })
+            return pa.concat_tables([v, p]).combine_chunks()
+
+    combined = sub.map_batches(_FullPass, batch_format="pyarrow",
+                               batch_size=batch_size, concurrency=concurrency,
+                               num_cpus=1).materialize()
+
+    def only_v(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("_rowtype"), "v")
+        return t.filter(m).drop_columns(["_rowtype", "_ext_n"])
+
+    def only_p(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("_rowtype"), "p")
+        return t.filter(m).select(["key", "_ext_n"])
+
+    violations = combined.map_batches(only_v, batch_format="pyarrow")
+    partials = combined.map_batches(only_p, batch_format="pyarrow")
+    return violations, partials
+
+
+def existential_violations_from_partials(partials: "ray.data.Dataset"):
+    """SOME-100 over the decode partials: merge per-batch decodable
+    counts, flag keys where no row decoded."""
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby("key").aggregate(Sum("_ext_n", alias_name="_ext_n"))
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = t.column("_ext_n").to_numpy(zero_copy_only=False)
+        m = n == 0
+        if not m.any():
+            return empty_violations()
+        keys = np.asarray(t.column("key").to_pylist(), dtype=object)
+        return make_violations("SOME-100", keys[m], "decodable_bytes", n[m],
+                               expected="some row satisfies decodable_bytes")
+
+    return merged.map_batches(emit, batch_format="pyarrow")

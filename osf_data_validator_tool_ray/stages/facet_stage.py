@@ -35,11 +35,17 @@ class StatelessValidator:
     """map_batches(StatelessValidator(spec), batch_format="pyarrow") ->
     Dataset of violation rows."""
 
-    def __init__(self, spec: ConstraintSpec):
+    def __init__(self, spec: ConstraintSpec, skip_columns: tuple = (),
+                 include_universals: bool = True):
+        # skip_columns / include_universals=False: used by the decode-fused
+        # suite, where everything bytes-derived comes from the single
+        # decode scan (stages/decode_stage.bytes_suite_pass) instead
         self.spec = spec
         self.key = spec.key_column
+        self.skip_columns = set(skip_columns)
         self.enum_closures = [(e.column, e.closure()) for e in spec.enums]
-        self.universals = [(u.predicate, PREDICATES[u.predicate]) for u in spec.universals]
+        self.universals = ([(u.predicate, PREDICATES[u.predicate]) for u in spec.universals]
+                           if include_universals else [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -47,7 +53,7 @@ class StatelessValidator:
 
         # 1. datatype facets (the workhorse — DATATYPE-FACET-101)
         for column, facets in spec.facets.items():
-            if column not in batch.column_names:
+            if column not in batch.column_names or column in self.skip_columns:
                 continue
             col = batch.column(column)
             if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
@@ -108,7 +114,8 @@ class StatelessValidator:
         return pa.concat_tables(out).combine_chunks()
 
 
-def stateless_columns(spec: ConstraintSpec) -> list[str]:
+def stateless_columns(spec: ConstraintSpec, skip_columns: tuple = (),
+                      include_universals: bool = True) -> list[str]:
     """Columns the fused pass actually needs — used for projection pushdown
     at the read so unrelated (esp. wide binary) columns never leave disk."""
     cols = set(spec.facets.keys())
@@ -118,7 +125,11 @@ def stateless_columns(spec: ConstraintSpec) -> list[str]:
         cols.add(e.column)
     for cd in spec.cross_domains:
         cols.update({cd.type_column, cd.column})
-    from ..checks.predicates import PREDICATE_COLUMNS as _PC
-    for u in spec.universals:
-        cols |= _PC[u.predicate]
+    if include_universals:
+        from ..checks.predicates import PREDICATE_COLUMNS as _PC
+        for u in spec.universals:
+            cols |= _PC[u.predicate]
+    cols -= set(skip_columns)
+    if spec.key_column:
+        cols.add(spec.key_column)
     return sorted(cols)

@@ -80,6 +80,31 @@ def test_report_shape(suite_result):
     assert rep["checks"]["SCHEMA-COLUMN-100"]["pass"] is True
 
 
+def test_decode_fused_suite_matches_sniff_suite(suite_result):
+    """decode=True (single bytes scan via the actor pool) must reproduce
+    every check outcome of the sniff-based path, plus DECODE-10x."""
+    table, ledger, dangling, res, v_sniff = suite_result
+    refs, _ = synth_refs(table, seed=42)
+    ds = ray.data.from_arrow(table).repartition(4)
+    res2 = run_suite(ds, clips_spec(), refs={"refs": ray.data.from_arrow(refs)},
+                     decode=True, decode_concurrency=(1, 2))
+    v = res2.violations.to_pandas()
+
+    for check in ("DATATYPE-FACET-101", "ENUM-DOMAIN-100", "CROSS-DOMAIN-100",
+                  "CARD-MAX-100", "CARD-MIN-100", "REF-EXISTENCE-100"):
+        assert _keys(v, check) == _keys(v_sniff, check), check
+    # universal + existential outcomes identical (decode subsumes sniff)
+    assert _keys(v, "ONLY-100", "bytes_matches_codec") == \
+        _keys(v_sniff, "ONLY-100", "bytes_matches_codec")
+    assert _keys(v, "ONLY-100", "frames_match_dur") == \
+        _keys(v_sniff, "ONLY-100", "frames_match_dur")
+    assert _keys(v, "SOME-100", "decodable_bytes") == \
+        _keys(v_sniff, "SOME-100", "decodable_bytes")
+    # and the decode-only findings appear
+    assert set(ledger["truncated_bytes"]) <= _keys(v, "DECODE-100")
+    assert set(ledger["wrong_container"]) <= _keys(v, "DECODE-101", "codec")
+
+
 def test_clean_table_passes():
     table, _ = synth_clips(200, seed=7, defect_rate=0.0)
     ds = ray.data.from_arrow(table).repartition(2)
