@@ -308,6 +308,147 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.9)
 
 
+def _q_windowed_events(sf_dir: str):
+    """Tumbling-window aggregate: events per (user_id, 1h window)."""
+    from osf_data_validator_tool_ray.pipelines.streaming import tumbling_window
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return tumbling_window(ds, "user_id", "ts", window_s=3600)
+
+
+def _q_session_windows(sf_dir: str):
+    """Gap-based session windows (30 min gap) per user."""
+    from osf_data_validator_tool_ray.pipelines.streaming import session_windows
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", gap_s=1800)
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of join: each event picks the customer's latest order at or
+    before the event timestamp.  The right side is pre-aggregated per
+    (custkey, date) so tie-breaking is deterministic on both engines."""
+    from ray.data.aggregate import Max
+    from osf_data_validator_tool_ray.pipelines.streaming import asof_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    per_day = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_totalprice", alias_name="o_totalprice"))
+    per_day = per_day.map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow")
+    return asof_join(events, per_day, key="user_id", left_ts="ts",
+                     right_ts="o_orderdate", right_cols=["o_orderdate", "o_totalprice"])
+
+
+def _q_topk_per_group(sf_dir: str):
+    """Top-3 lineitems per order by extendedprice (deterministic
+    tie-break on linenumber)."""
+    from osf_data_validator_tool_ray.pipelines.streaming import topk_per_group
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return topk_per_group(ds, "l_orderkey", ["l_extendedprice", "l_linenumber"],
+                          k=3, ascending=[False, True])
+
+
+def _q_hll_distinct(sf_dir: str):
+    """Approximate distinct counts via HyperLogLog (no oracle — estimate;
+    accuracy asserted in tests/test_sketches.py)."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import HyperLogLog
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog()
+        h.update(batch.column("l_partkey").to_pandas())
+        return pa.table({"sketch": pa.array([h.to_bytes()], type=pa.binary())})
+
+    merged = HyperLogLog()
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(batch_format="pyarrow"):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(HyperLogLog.from_bytes(s))
+    return pd.DataFrame({"approx_distinct_partkey": [int(merged.estimate())]})
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters: estimated frequency of each event_type
+    (no oracle — overestimate-bounded sketch)."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import CountMin
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = CountMin()
+        c.update(batch.column("event_type").to_pandas())
+        return pa.table({"sketch": pa.array([c.to_bytes()], type=pa.binary())})
+
+    merged = CountMin()
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(batch_format="pyarrow"):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(CountMin.from_bytes(s))
+    cats = ["click", "view", "purchase", "signup", "error"]
+    est = merged.query(pd.Series(cats))
+    return pd.DataFrame({"event_type": cats, "est_count": est.astype("int64")})
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable streaming-histogram quantiles of l_extendedprice
+    (no oracle — approximate)."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import StreamHist
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = StreamHist()
+        h.update(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([h.to_bytes()], type=pa.binary())})
+
+    merged = StreamHist()
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(batch_format="pyarrow"):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(StreamHist.from_bytes(s))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = merged.quantile(qs)
+    return pd.DataFrame({"q": qs, "value": vals})
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact character-5-gram Jaccard verification of MinHash candidate
+    pairs (no oracle — exact-Jaccard semantics tested in pytest)."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.checks.dedup import minhash_near_dup_pairs
+    from osf_data_validator_tool_ray.functions.text import char_shingle_hashes, exact_jaccard
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.4).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    import pyarrow.parquet as pq
+    texts = dict(zip(*[pq.read_table(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"]).column(c).to_pylist()
+                       for c in ("doc_id", "text")]))
+    sh = {i: char_shingle_hashes(texts[i], 5) for i in
+          set(cand.id_a) | set(cand.id_b)}
+    cand["jaccard"] = [exact_jaccard(sh[a], sh[b])
+                       for a, b in zip(cand.id_a, cand.id_b)]
+    return cand[["id_a", "id_b", "jaccard"]]
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-token counts (GPT-2-style split; regex uses lookahead,
+    which RE2/DuckDB lacks — no oracle)."""
+    from osf_data_validator_tool_ray.functions.text import bpe_token_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = bpe_token_counts(batch.column("text").to_pandas())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(n, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "facet_bounds": _q_facet_bounds,
@@ -333,6 +474,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "windowed_events": _q_windowed_events,
+        "session_windows": _q_session_windows,
+        "asof_join": _q_asof_join,
+        "topk_per_group": _q_topk_per_group,
+        "hll_distinct": _q_hll_distinct,
+        "heavy_hitters": _q_heavy_hitters,
+        "approx_quantiles": _q_approx_quantiles,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 
@@ -415,6 +565,53 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
                    length(regexp_extract_all(lower(text), '\b(the|and|of|a|to)\b')) AS n_stopwords
             FROM documents
+        """,
+        "windowed_events": """
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) AS window_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800 * 1000000
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id,
+                   epoch_us(MIN(ts)) AS session_start,
+                   epoch_us(MAX(ts)) AS session_end,
+                   COUNT(*) AS n
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH per_day AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       MAX(o_totalprice) AS o_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, p.o_orderdate, p.o_totalprice
+            FROM events e
+            ASOF LEFT JOIN per_day p
+              ON e.user_id = p.user_id AND e.ts >= p.o_orderdate
+        """,
+        "topk_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_extendedprice DESC,
+                                                   l_linenumber ASC) AS rank
+                FROM lineitem
+            ) WHERE rank <= 3
         """,
         "ann_topk": """
             WITH q AS (

@@ -20,8 +20,14 @@ from ..stages.base_ids import SCHEMA_COLUMN_100, SCHEMA_COLUMN_101, SPEC_COMPLET
 
 
 def schema_violations(actual: pa.Schema, spec: ConstraintSpec) -> pa.Table:
+    """mode=strict (default): any physical-type drift is an error.
+    mode=loose: numeric widenings (int32->int64, float->double) degrade
+    to warnings — the analog of the reference's strict|loose datatype
+    check parameter and its Virtuoso integer-coercion mute list
+    (CheckDatatypePropertiesDatatype.php:12-26, 198-231)."""
     if spec.expected_schema is None:
         return empty_violations()
+    loose = spec.params.get("mode") == "loose"
     expected = spec.expected_schema
     out = []
     exp = {f.name: f.type for f in expected}
@@ -30,8 +36,13 @@ def schema_violations(actual: pa.Schema, spec: ConstraintSpec) -> pa.Table:
             out.append(make_violations(SCHEMA_COLUMN_100, [None], field.name,
                                        [str(field.type)], expected="column not in spec schema"))
         elif exp[field.name] != field.type:
+            widening = (pa.types.is_integer(exp[field.name]) and pa.types.is_integer(field.type)
+                        and field.type.bit_width >= exp[field.name].bit_width) or (
+                pa.types.is_floating(exp[field.name]) and pa.types.is_floating(field.type))
+            sev = "warning" if (loose and widening) else "error"
             out.append(make_violations(SCHEMA_COLUMN_100, [None], field.name,
-                                       [str(field.type)], expected=str(exp[field.name])))
+                                       [str(field.type)], expected=str(exp[field.name]),
+                                       severity=sev))
     actual_names = set(actual.names)
     for name in exp:
         if name not in actual_names:

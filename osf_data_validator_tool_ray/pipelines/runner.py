@@ -48,17 +48,19 @@ class SuiteResult:
     _counts: Optional[pd.DataFrame] = field(default=None, repr=False)
 
     def violation_counts(self) -> pd.DataFrame:
-        """Small aggregate: one row per check_id with its violation count."""
+        """Small aggregate: one row per (check_id, severity) with count —
+        warnings and errors are structurally separated like the
+        reference's -5x / -10x id split."""
         if self._counts is None:
-            agg = self.violations.groupby("check_id").count().to_pandas()
+            agg = self.violations.groupby(["check_id", "severity"]).count().to_pandas()
             agg = agg.rename(columns={"count()": "n"})
             drv = (
-                self.driver_violations.to_pandas().groupby("check_id").size()
-                .rename("n").reset_index()
+                self.driver_violations.to_pandas()
+                .groupby(["check_id", "severity"]).size().rename("n").reset_index()
             )
             self._counts = (
                 pd.concat([agg, drv], ignore_index=True)
-                .groupby("check_id")["n"].sum().reset_index()
+                .groupby(["check_id", "severity"])["n"].sum().reset_index()
             )
         return self._counts
 
@@ -85,9 +87,18 @@ class SuiteResult:
         return ET.tostring(root, encoding="unicode")
 
     def report(self, sample: int = 20) -> dict:
-        counts = {r["check_id"]: int(r["n"]) for _, r in self.violation_counts().iterrows()}
+        """pass/fail is decided by ERROR-severity violations only;
+        warnings are reported but non-fatal (the reference's warning
+        rows never fail a check either)."""
+        vc = self.violation_counts()
+        errors = {r["check_id"]: int(r["n"]) for _, r in
+                  vc[vc.severity == "error"].iterrows()}
+        warns = {r["check_id"]: int(r["n"]) for _, r in
+                 vc[vc.severity == "warning"].iterrows()}
         checks = {
-            cid: {"pass": counts.get(cid, 0) == 0, "n_violations": counts.get(cid, 0)}
+            cid: {"pass": errors.get(cid, 0) == 0,
+                  "n_violations": errors.get(cid, 0),
+                  "n_warnings": warns.get(cid, 0)}
             for cid in ALL_CHECK_IDS
         }
         sample_rows = self.violations.limit(sample).to_pandas().to_dict("records")
@@ -126,6 +137,7 @@ def run_suite(
     decode: bool = False,
     decode_concurrency: "int | tuple[int, int]" = (1, 16),
     metadata_ds: Optional["ray.data.Dataset"] = None,
+    decode_profile: str = "light",
 ) -> SuiteResult:
     """Plan every check of ``spec`` against ``ds``; everything stays lazy
     until the caller consumes the violations Dataset / report.
@@ -161,27 +173,54 @@ def run_suite(
     )
     parts.append(stateless)
 
+    from ..checks.unified_keyed import unified_keyed_violations
+
     if decode and "bytes" in actual_schema.names:
+        # Overlap: the decode scan (bytes_suite_pass materializes its
+        # small combined output) runs in a driver thread WHILE the
+        # metadata branches (stateless + keyed exchange) materialize —
+        # otherwise the keyed exchange serializes behind the decode
+        # barrier and its fixed latency lands on the critical path.
+        import threading
+
         from ..stages.decode_stage import (
             bytes_suite_pass, existential_violations_from_partials)
-        bytes_v, ext_partials = bytes_suite_pass(ds, concurrency=decode_concurrency)
-        parts.append(bytes_v)
+
+        box: dict = {}
+
+        def _run_bytes():
+            try:
+                box["v"], box["p"] = bytes_suite_pass(
+                    ds, concurrency=decode_concurrency, profile=decode_profile)
+            except BaseException as e:      # noqa: BLE001 — rethrown below
+                box["err"] = e
+
+        th = threading.Thread(target=_run_bytes, daemon=True)
+        th.start()
+
+        keyed = unified_keyed_violations(
+            meta_ds, spec, refs=refs,
+            expected_keys=expected_keys, expected_key_column=expected_key_column,
+            include_existentials_from_meta=False,
+        )
+        keyed_m = keyed.materialize() if keyed is not None else None
+        stateless_m = stateless.materialize()
+        parts = [stateless_m] + ([keyed_m] if keyed_m is not None else [])
+
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        parts.append(box["v"])
         if any(e.predicate == "decodable_bytes" for e in spec.existentials):
-            parts.append(existential_violations_from_partials(ext_partials))
-
-    grouped = grouped_violations(meta_ds, spec, batch_size=batch_size,
-                                 include_existentials=not decode)
-    if grouped is not None:
-        parts.append(grouped)
-
-    for ri in spec.ref_integrity:
-        if refs and ri.ref_table in refs:
-            parts.append(ref_existence_violations(
-                refs[ri.ref_table], ri.ref_column, meta_ds, ri.key_column))
-
-    if expected_keys is not None and spec.key_column:
-        parts.append(zero_edge_violations(
-            expected_keys, expected_key_column, meta_ds, spec.key_column))
+            parts.append(existential_violations_from_partials(box["p"]))
+    else:
+        keyed = unified_keyed_violations(
+            meta_ds, spec, refs=refs,
+            expected_keys=expected_keys, expected_key_column=expected_key_column,
+            include_existentials_from_meta=True,
+        )
+        if keyed is not None:
+            parts.append(keyed)
 
     violations = parts[0]
     for p in parts[1:]:

@@ -1,0 +1,190 @@
+"""Stream-shaped operators over an ordered, partitioned event log.
+
+Ray Data is a batch engine (no watermarks); the reference is also batch
+(SURVEY.md §2.2 "streaming-only concepts: none").  These operators treat
+the events table as an ordered log partitioned by key, per the standard
+batch formulation:
+
+  * tumbling_window — GROUP BY (key, floor(ts / size)); stateless per
+    row, so it is a plain two-phase grouped aggregate (no ordering
+    assumption at all).
+  * session_windows — gap-based sessions; needs rows of one key sorted
+    by ts, so it shuffles by key and sorts *within the group* only
+    (groupby(key).map_groups with a pandas sort — group-local, no global
+    sort).
+  * asof_join — for each left row, the latest right row of the same key
+    with ts_right <= ts_left: hash-partition both sides by key (one
+    tagged union shuffle), per-key pandas merge_asof.
+
+Partitioning assumption (documented per SURVEY §2.2 "custom operators"):
+one key's rows fit in a worker's heap.  Hot keys should be pre-split by
+time range before these operators at extreme skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def tumbling_window(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    window_s: int,
+    value_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Per (key, window) aggregate: n events + sum/min/max of value.
+    Window id = floor(epoch_seconds / window_s) (UTC-naive, matching
+    DuckDB's to_timestamp semantics)."""
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64())          # microseconds
+        win = pc.divide(ts, 1_000_000 * window_s)
+        return t.append_column("window_id", pc.cast(win, pa.int64()))
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
+    aggs = [Count(alias_name="n")]
+    if value_col:
+        aggs += [Sum(value_col, alias_name="sum_value")]
+    return windowed.groupby([key, "window_id"]).aggregate(*aggs)
+
+
+def session_windows(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    gap_s: int,
+) -> "ray.data.Dataset":
+    """Session windows: a new session starts when the gap to the previous
+    event of the same key exceeds ``gap_s``.  Returns one row per session:
+    (key, session_id, session_start, session_end, n)."""
+
+    gap_us = gap_s * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({key: g[key].to_numpy(), "_sid": sid, "_ts": ts})
+        agg = out.groupby("_sid").agg(
+            session_start=("_ts", "min"), session_end=("_ts", "max"),
+            n=("_ts", "size")).reset_index()
+        agg[key] = g[key].iloc[0]
+        agg = agg.rename(columns={"_sid": "session_id"})
+        return agg[[key, "session_id", "session_start", "session_end", "n"]]
+
+    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
+        sessions, batch_format="pandas")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> "ray.data.Dataset":
+    """As-of (backward) join: each left row picks the right row of the
+    same key with the greatest right_ts <= left_ts.
+
+    One tagged-union hash shuffle on ``key``; per-key pd.merge_asof.
+    Output: left columns + requested right columns (null when no match).
+    """
+
+    lcols = [c for c in left.schema().names]
+    l = left.map_batches(
+        lambda t: t.append_column("_side", pa.array(["l"] * t.num_rows)),
+        batch_format="pyarrow", batch_size=None)
+    rcols = list(dict.fromkeys([key, right_ts] + [c for c in right_cols if c != key]))
+    r = right.select_columns(rcols).map_batches(
+        lambda t: t.append_column("_side", pa.array(["r"] * t.num_rows)),
+        batch_format="pyarrow", batch_size=None)
+
+    rextra = [c for c in rcols if c != key]          # right_ts + value cols
+    out_cols = lcols + [c for c in rextra if c not in lcols]
+
+    def _restore_left_ints(df: pd.DataFrame) -> pd.DataFrame:
+        # padding right-side rows nulls the left int columns -> float64;
+        # left rows are never null there, so cast back after the join
+        for c in lcols:
+            if c in df.columns and pa.types.is_integer(types[c]):
+                df[c] = df[c].astype("int64")
+        return df
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["_side"] == "l"][lcols].sort_values(left_ts, kind="stable")
+        if gl.empty:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in out_cols})
+        gr = g[g["_side"] == "r"][rextra].sort_values(right_ts, kind="stable")
+        # unify timestamp resolution (grouped blocks can carry [s] vs [us])
+        gl[left_ts] = gl[left_ts].astype("datetime64[us]")
+        gr[right_ts] = gr[right_ts].astype("datetime64[us]")
+        if gr.empty:
+            out = gl.copy()
+            for c in rextra:
+                if c not in out.columns:
+                    out[c] = pd.NA
+            return _restore_left_ints(out.reindex(columns=out_cols))
+        merged = pd.merge_asof(gl, gr, left_on=left_ts, right_on=right_ts,
+                               direction="backward", suffixes=("", "_right"))
+        return _restore_left_ints(merged.reindex(columns=out_cols))
+
+    # union the two sides: pad each with TYPED null columns so both
+    # blocks share one schema (union requires identical schemas)
+    def _pa_schema(d):
+        s = d.schema()
+        return s.base_schema if hasattr(s, "base_schema") else pa.schema(
+            list(zip(s.names, s.types)))
+
+    types: dict[str, pa.DataType] = {"_side": pa.string()}
+    for f in _pa_schema(right):
+        if f.name in rcols:
+            types[f.name] = f.type
+    for f in _pa_schema(left):
+        types[f.name] = f.type
+    all_cols = sorted(set(lcols) | set(rcols) | {"_side"})
+
+    def pad(t: pa.Table) -> pa.Table:
+        for c in all_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+        return t.select(all_cols)
+
+    lp = l.map_batches(pad, batch_format="pyarrow", batch_size=None)
+    rp = r.map_batches(pad, batch_format="pyarrow", batch_size=None)
+    return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: "str | list[str]",
+    k: int,
+    ascending: "bool | list[bool]" = False,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by ``order_cols`` (ROW_NUMBER() <= k analog).
+    groupby(key).map_groups with a group-local sort — no global sort.
+    Pass a full tie-breaking order for deterministic output."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_cols)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="stable")
+        out = g.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return ds.groupby(key).map_groups(head, batch_format="pandas")

@@ -37,25 +37,35 @@ from .. import audio
 from ..checks.base import empty_violations, make_violations
 from ..stages.base_ids import DECODE_100, DECODE_101
 
-STATS_SCHEMA = pa.schema([
-    ("clip_id", pa.string()),
-    ("decoded_ok", pa.bool_()),
-    ("frames", pa.int64()),
-    ("payload_sr_hz", pa.int32()),
-    ("payload_codec", pa.string()),
-    ("rms", pa.float64()),
-    ("peak", pa.float64()),
-    ("pcm_md5", pa.string()),
-    ("error", pa.string()),
-    ("transcript", pa.string()),
-])
+_FEATURE_COLS = ("silence_ratio", "clipping_ratio", "spectral_centroid",
+                 "spectral_rolloff", "spectral_flatness", "dominant_freq", "zcr")
+
+STATS_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decoded_ok", pa.bool_()),
+        ("frames", pa.int64()),
+        ("payload_sr_hz", pa.int32()),
+        ("payload_codec", pa.string()),
+        ("rms", pa.float64()),
+        ("peak", pa.float64()),
+        ("pcm_md5", pa.string()),
+        ("error", pa.string()),
+        ("transcript", pa.string()),
+    ]
+    + [(c, pa.float64()) for c in _FEATURE_COLS]
+)
 
 
 class AudioDecodeValidator:
-    def __init__(self, frame_tolerance: float = 0.02):
-        # actor-lifetime state: one-time setup (decoder dispatch is cheap
-        # here, but this is where codec tables / models load at scale)
+    def __init__(self, frame_tolerance: float = 0.02, features: bool = True,
+                 profile: str = "light"):
+        # actor-lifetime state: one-time setup (decoder dispatch + the
+        # Hann window cache; this is where codec tables / models load at
+        # fleet scale)
         self.frame_tolerance = frame_tolerance
+        self.features = features
+        self.profile = profile
         self._decode = audio.decode_ints
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -72,6 +82,7 @@ class AudioDecodeValidator:
         peak = np.zeros(n, dtype=np.float64)
         md5s: list = [None] * n
         errs: list = [None] * n
+        feats = {c: np.zeros(n, dtype=np.float64) for c in _FEATURE_COLS}
         for i, buf in enumerate(payloads):
             if buf is None:
                 errs[i] = "null payload"
@@ -92,8 +103,13 @@ class AudioDecodeValidator:
             if len(f):
                 rms[i] = float(np.sqrt(np.mean(f * f)))
                 peak[i] = float(np.max(np.abs(f)))
+            if self.features:
+                q = (audio.qa_features_full(f, sr) if self.profile == "full"
+                     else audio.qa_features(f, sr))
+                for c in _FEATURE_COLS:
+                    feats[c][i] = q[c]
             md5s[i] = hashlib.md5(ints.tobytes()).hexdigest()
-        return pa.table({
+        cols = {
             "clip_id": pa.array(ids, type=pa.string()),
             "decoded_ok": pa.array(ok),
             "frames": pa.array(frames),
@@ -104,7 +120,10 @@ class AudioDecodeValidator:
             "pcm_md5": pa.array(md5s, type=pa.string()),
             "error": pa.array(errs, type=pa.string()),
             "transcript": pa.array(transcripts, type=pa.string()),
-        }, schema=STATS_SCHEMA)
+        }
+        for c in _FEATURE_COLS:
+            cols[c] = pa.array(feats[c])
+        return pa.table(cols, schema=STATS_SCHEMA)
 
 
 def decode_stats(
@@ -187,6 +206,8 @@ def bytes_suite_pass(
     frame_tolerance: float = 0.02,
     batch_size: int = 256,
     concurrency: "int | tuple[int, int]" = (1, 16),
+    use_actors: bool = False,
+    profile: str = "light",
 ):
     """ONE actor-pool scan of the payload column that yields everything
     any check needs from `bytes`:
@@ -210,8 +231,14 @@ def bytes_suite_pass(
     sub = ds.select_columns(cols)
 
     class _FullPass:
+        """Per-batch body.  As a task fn it reuses one process-cached
+        validator per worker (tasks run in Ray's long-lived worker
+        processes, so setup amortizes across runs without paying actor
+        pool spin-up per execution); pass use_actors=True for stages
+        whose state is genuinely heavy (models)."""
+
         def __init__(self):
-            self.validator = AudioDecodeValidator(frame_tolerance)
+            self.validator = AudioDecodeValidator(frame_tolerance, profile=profile)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             stats = self.validator(batch)
@@ -282,9 +309,16 @@ def bytes_suite_pass(
             })
             return pa.concat_tables([v, p]).combine_chunks()
 
-    combined = sub.map_batches(_FullPass, batch_format="pyarrow",
-                               batch_size=batch_size, concurrency=concurrency,
-                               num_cpus=1).materialize()
+    if use_actors:
+        combined = sub.map_batches(_FullPass, batch_format="pyarrow",
+                                   batch_size=batch_size, concurrency=concurrency,
+                                   num_cpus=1).materialize()
+    else:
+        # task path: decode state is cheap, and tasks run in Ray's warm
+        # worker processes — no per-execution actor pool spin-up (an
+        # instance, not the class, makes map_batches schedule tasks)
+        combined = sub.map_batches(_FullPass(), batch_format="pyarrow",
+                                   batch_size=batch_size).materialize()
 
     def only_v(t: pa.Table) -> pa.Table:
         m = pc.equal(t.column("_rowtype"), "v")
@@ -299,12 +333,20 @@ def bytes_suite_pass(
     return violations, partials
 
 
-def existential_violations_from_partials(partials: "ray.data.Dataset"):
+def existential_violations_from_partials(
+    partials: "ray.data.Dataset",
+    driver_merge_threshold: int = 5_000_000,
+):
     """SOME-100 over the decode partials: merge per-batch decodable
-    counts, flag keys where no row decoded."""
-    from ray.data.aggregate import Sum
+    counts, flag keys where no row decoded.
 
-    merged = partials.groupby("key").aggregate(Sum("_ext_n", alias_name="_ext_n"))
+    Adaptive merge: the partials' row count is known cheaply (the parent
+    combined dataset is materialized), so small partial sets (< threshold
+    rows, i.e. a few MB) merge driver-side with a pandas groupby instead
+    of paying a full sort-exchange's fixed latency; at fleet scale
+    (10^12 keys) the count exceeds the threshold and the shuffle path
+    runs.  Same results either way."""
+    import pandas as pd
 
     def emit(t: pa.Table) -> pa.Table:
         n = t.column("_ext_n").to_numpy(zero_copy_only=False)
@@ -315,4 +357,13 @@ def existential_violations_from_partials(partials: "ray.data.Dataset"):
         return make_violations("SOME-100", keys[m], "decodable_bytes", n[m],
                                expected="some row satisfies decodable_bytes")
 
+    if partials.count() <= driver_merge_threshold:
+        df = partials.to_pandas()
+        agg = df.groupby("key", sort=False)["_ext_n"].sum().reset_index()
+        t = pa.table({"key": pa.array(agg["key"].astype(object), type=pa.string()),
+                      "_ext_n": pa.array(agg["_ext_n"].to_numpy(), type=pa.int64())})
+        return ray.data.from_arrow(emit(t))
+
+    from ray.data.aggregate import Sum
+    merged = partials.groupby("key").aggregate(Sum("_ext_n", alias_name="_ext_n"))
     return merged.map_batches(emit, batch_format="pyarrow")
