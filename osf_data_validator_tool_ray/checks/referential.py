@@ -129,7 +129,8 @@ def broadcast_membership_filter(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vals = pd.unique(batch.column(ref_column).to_pandas().dropna())
             miss = [v for v in vals if v not in self.keys]
-            return pa.table({"key": pa.array(miss, type=pa.string())})
+            return pa.table({"key": pa.array(
+                miss, type=batch.schema.field(ref_column).type)})
 
     return refs.select_columns([ref_column]).map_batches(
         Probe, batch_format="pyarrow", concurrency=(1, 4))

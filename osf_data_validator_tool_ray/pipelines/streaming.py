@@ -46,7 +46,8 @@ def tumbling_window(
     DuckDB's to_timestamp semantics)."""
 
     def add_window(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col).cast(pa.int64())          # microseconds
+        # normalize resolution first: pandas-sourced blocks carry [ns]
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
         win = pc.divide(ts, 1_000_000 * window_s)
         return t.append_column("window_id", pc.cast(win, pa.int64()))
 
@@ -71,7 +72,7 @@ def session_windows(
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].astype("int64").to_numpy()
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         new = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
             new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
@@ -145,8 +146,15 @@ def asof_join(
     # blocks share one schema (union requires identical schemas)
     def _pa_schema(d):
         s = d.schema()
-        return s.base_schema if hasattr(s, "base_schema") else pa.schema(
-            list(zip(s.names, s.types)))
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        fields = []
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(typ)   # pandas-block schema
+            fields.append(pa.field(name, typ))
+        return pa.schema(fields)
 
     types: dict[str, pa.DataType] = {"_side": pa.string()}
     for f in _pa_schema(right):

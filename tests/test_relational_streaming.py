@@ -1,0 +1,127 @@
+"""Direct unit coverage for the generic relational + streaming operators
+(the DuckDB cross-check harness also exercises them at sf0.01)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from osf_data_validator_tool_ray.checks.referential import (
+    anti_join_missing,
+    broadcast_membership_filter,
+)
+from osf_data_validator_tool_ray.pipelines.relational import (
+    distinct_counts,
+    distinct_values,
+    existential_missing,
+    filter_rows,
+    group_count_having,
+)
+from osf_data_validator_tool_ray.pipelines.streaming import (
+    asof_join,
+    session_windows,
+    topk_per_group,
+    tumbling_window,
+)
+
+
+def _tbl():
+    return ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 4, 4, 4, 4],
+        "v": [5, 6, 7, 1, 2, 9, 1, 1, 1, 1],
+        "flag": ["a", "b", "a", "a", "a", "b", "b", "b", "b", "b"],
+    })).repartition(3)
+
+
+def test_filter_rows():
+    out = filter_rows(_tbl(), lambda t: pc.greater(t["v"], 4)).to_pandas()
+    assert sorted(out.v) == [5, 6, 7, 9]
+
+
+def test_group_count_having_ops():
+    got = group_count_having(_tbl(), "k", "gt", 2).to_pandas()
+    assert set(got.k) == {1, 4}
+    got = group_count_having(_tbl(), "k", "eq", 1).to_pandas()
+    assert set(got.k) == {3}
+    # qualified: count only flag=='a' rows
+    got = group_count_having(
+        _tbl(), "k", "ge", 2,
+        qualifier=lambda t: pc.equal(t["flag"], "a").to_numpy(zero_copy_only=False),
+    ).to_pandas()
+    assert set(got.k) == {1, 2}
+
+
+def test_existential_missing():
+    got = existential_missing(
+        _tbl(), "k",
+        lambda t: pc.equal(t["flag"], "a").to_numpy(zero_copy_only=False),
+    ).to_pandas()
+    assert set(got.k) == {3, 4}
+
+
+def test_distinct_ops():
+    assert set(distinct_values(_tbl(), "flag").to_pandas()["flag"]) == {"a", "b"}
+    t = distinct_counts(_tbl(), ["k", "flag"])
+    assert t.column("n_k")[0].as_py() == 4
+    assert t.column("n_flag")[0].as_py() == 2
+
+
+def test_anti_join_and_broadcast_paths_agree():
+    import ray
+    refs = ray.data.from_pandas(pd.DataFrame({"r": [1, 2, 3, 99, 100, 100]})).repartition(2)
+    keys = _tbl()
+    miss = anti_join_missing(refs, "r", keys, "k").to_pandas()
+    assert set(miss.key) == {99, 100}
+    key_set = ray.put(frozenset([1, 2, 3, 4]))
+    miss2 = broadcast_membership_filter(refs, "r", key_set).to_pandas()
+    assert set(int(x) for x in miss2.key) == {99, 100}
+
+
+def _events():
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u, offsets in [(1, [0, 10, 20, 4000, 4010]), (2, [0, 7200])]:
+        for o in offsets:
+            rows.append({"user_id": u, "ts": base + pd.Timedelta(seconds=o),
+                         "value": float(o)})
+    return ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+
+
+def test_tumbling_window():
+    out = tumbling_window(_events(), "user_id", "ts", window_s=3600).to_pandas()
+    got = {(r.user_id, r.window_id): r.n for r in out.itertuples()}
+    base_win = int(pd.Timestamp("2024-01-01").timestamp() // 3600)
+    assert got[(1, base_win)] == 3          # 0,10,20s
+    assert got[(1, base_win + 1)] == 2      # 4000,4010s
+    assert got[(2, base_win)] == 1 and got[(2, base_win + 2)] == 1
+
+
+def test_session_windows():
+    out = session_windows(_events(), "user_id", "ts", gap_s=1800).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert list(u1.n) == [3, 2]             # gap of 3980s splits sessions
+    u2 = out[out.user_id == 2]
+    assert list(sorted(u2.n)) == [1, 1]
+
+
+def test_asof_join_backward():
+    left = ray.data.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3], "k": [7, 7, 7],
+        "lts": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-01"]),
+    })).repartition(2)
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [7, 7], "rts": pd.to_datetime(["2024-01-02", "2024-01-08"]),
+        "price": [10.0, 20.0],
+    })).repartition(2)
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rts", "price"]).to_pandas().sort_values("id")
+    assert out.price.tolist()[:2] == [10.0, 20.0]
+    assert np.isnan(out.price.tolist()[2])   # event before any right row
+
+
+def test_topk_per_group():
+    out = topk_per_group(_tbl(), "k", ["v"], k=2, ascending=False).to_pandas()
+    top1 = out[(out.k == 1)].sort_values("rank")
+    assert top1.v.tolist() == [7, 6]
+    assert (out.groupby("k").size() <= 2).all()
