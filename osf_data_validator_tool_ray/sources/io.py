@@ -1,0 +1,53 @@
+"""Table sources/sinks.
+
+The north_rule targets Lance tables (`ray.data.read_lance`); this
+sandbox has no `pylance`, so the reader resolves Lance -> parquet with
+an identical partition/fragment abstraction (one file or fragment = one
+partition = the resume/lineage unit; see pipelines/partitioned.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+import ray.data
+
+try:
+    import lance  # noqa: F401
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    override_num_blocks: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Read a Lance dataset or a parquet file/dir/glob with column
+    projection pushed into the scan."""
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if HAVE_LANCE and path.endswith(".lance"):
+        return ray.data.read_lance(path, **kwargs)
+    if any(ch in path for ch in "*?["):
+        return ray.data.read_parquet(sorted(glob.glob(path)), **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def partition_files(path: str) -> list[str]:
+    """The partition (fragment) list of a table — the resume unit."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return sorted(glob.glob(path))
+
+
+def write_violations(ds: "ray.data.Dataset", out_dir: str) -> str:
+    """Partitioned parquet violations sink (never one giant file)."""
+    ds.write_parquet(out_dir)
+    return out_dir
