@@ -305,7 +305,9 @@ def _q_embedding_neardup(sf_dir: str):
     """Embedding near-dup pairs (SRP-LSH bucketed; no SQL oracle)."""
     from osf_data_validator_tool_ray.checks.similarity import embedding_near_dup_pairs
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.9)
+    # random embeddings have no true near-dups; tau=0.3 with few planes
+    # surfaces the top similar pairs so the pipeline output is non-trivial
+    return embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.3, n_planes=4)
 
 
 def _q_windowed_events(sf_dir: str):

@@ -95,12 +95,16 @@ def _only_strings(s: pd.Series) -> pd.Series:
 
 def _regex_valid(values, rx: re.Pattern) -> np.ndarray:
     s = _only_strings(_as_str_series(values))
+    if len(s) == 0 or s.isna().all():
+        return np.zeros(len(s), dtype=bool)
     out = s.str.match(rx, na=False)
     return out.to_numpy(dtype=bool)
 
 
 def _int_family(values, lo, hi) -> np.ndarray:
     s = _only_strings(_as_str_series(values))
+    if len(s) == 0 or s.isna().all():
+        return np.zeros(len(s), dtype=bool)
     ok = s.str.match(RE_INTEGER, na=False)
     if lo is None and hi is None:
         return ok.to_numpy(dtype=bool)
@@ -120,6 +124,8 @@ def _valid_string(values) -> np.ndarray:
     (checks/Check.php:469-538); here any non-null str is valid (Arrow
     strings are guaranteed valid UTF-8)."""
     s = _as_str_series(values)
+    if s.dtype == object:
+        return s.map(lambda v: isinstance(v, str)).to_numpy(dtype=bool)
     return s.notna().to_numpy(dtype=bool)
 
 
@@ -166,7 +172,9 @@ for _name, (_lo, _hi) in _INT_BOUNDS.items():
 
 
 def _regex_contains(values, rx: re.Pattern) -> np.ndarray:
-    s = _as_str_series(values)
+    s = _only_strings(_as_str_series(values))
+    if len(s) == 0 or s.isna().all():
+        return np.zeros(len(s), dtype=bool)
     return s.str.contains(rx, na=False).to_numpy(dtype=bool)
 
 
@@ -211,8 +219,12 @@ def facet_violations(values, facets: Facets) -> dict[str, np.ndarray]:
 
     if facets.pattern is not None:
         rx = _compiled(facets.pattern)
-        ok = _only_strings(s).str.fullmatch(rx, na=True)
-        out["pattern"] = (~ok.to_numpy(dtype=bool)) & notnull
+        s2 = _only_strings(s)
+        if len(s2) == 0 or s2.isna().all():
+            out["pattern"] = np.zeros(len(s), dtype=bool)
+        else:
+            ok = s2.str.fullmatch(rx, na=True)
+            out["pattern"] = (~ok.to_numpy(dtype=bool)) & notnull
 
     numeric_needed = any(
         x is not None
@@ -237,7 +249,9 @@ def facet_violations(values, facets: Facets) -> dict[str, np.ndarray]:
         if is_bytes:
             lens = s.map(lambda b: len(b) if isinstance(b, (bytes, bytearray)) else np.nan)
         else:
-            lens = _only_strings(s).str.len()
+            s2 = _only_strings(s)
+            lens = (pd.Series(np.nan, index=s2.index)
+                    if (len(s2) == 0 or s2.isna().all()) else s2.str.len())
         lens = pd.to_numeric(lens, errors="coerce")
         bad = np.zeros(len(s), dtype=bool)
         if facets.min_length is not None:

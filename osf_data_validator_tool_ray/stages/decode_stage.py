@@ -197,8 +197,10 @@ def decode_violations(
                                            expected="frames ~= dur_ms*sr_hz/1000"))
         return pa.concat_tables(out).combine_chunks() if out else empty_violations()
 
-    return sub.map_batches(_DecodeCheck, batch_format="pyarrow", batch_size=batch_size,
-                           concurrency=concurrency, num_cpus=1)
+    # instance => task workers (warm processes; per-partition runs would
+    # otherwise pay actor-pool spin-up for every partition)
+    return sub.map_batches(_DecodeCheck(), batch_format="pyarrow",
+                           batch_size=batch_size)
 
 
 def bytes_suite_pass(
