@@ -1,0 +1,146 @@
+"""Config-driven check registry — the reference's plugin surface.
+
+The reference registers checks by class name in `dvt.ini`
+(tests/checks[] — dvt.ini:21-33) with optional query-string parameters
+(`CheckDatatypePropertiesDatatype?mode=strict`, parsed at dvt:142-155),
+instantiates each, injects context, and runs them in order.
+
+Here a check plugin is a named planner function over a RunContext; a run
+config lists `"<name>"` or `"<name>?k=v&k2=v2"` entries.  Each planner
+returns a violations Dataset (or a pyarrow Table for driver-side checks,
+or None when not applicable).  New checks register with @register.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qsl
+
+import pyarrow as pa
+
+import ray.data
+
+from ..spec import ConstraintSpec
+
+
+@dataclass
+class RunContext:
+    ds: "ray.data.Dataset"
+    spec: ConstraintSpec
+    metadata_ds: Optional["ray.data.Dataset"] = None
+    refs: Optional[dict[str, "ray.data.Dataset"]] = None
+    expected_keys: Optional["ray.data.Dataset"] = None
+    baseline_profile_path: Optional[str] = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def meta_ds(self):
+        return self.metadata_ds if self.metadata_ds is not None else self.ds
+
+
+CHECKS: dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        CHECKS[name] = fn
+        return fn
+    return deco
+
+
+def parse_check_entry(entry: str) -> tuple[str, dict[str, str]]:
+    """`"name?k=v&k2=v2"` -> (name, params) — dvt:142-155 analog."""
+    if "?" in entry:
+        name, qs = entry.split("?", 1)
+        return name, dict(parse_qsl(qs))
+    return entry, {}
+
+
+def plan_checks(ctx: RunContext, entries: list[str]) -> list[Any]:
+    """Plan every configured check; returns Datasets / pyarrow Tables of
+    violation rows (unknown names raise, like an unloadable class)."""
+    out = []
+    for entry in entries:
+        name, params = parse_check_entry(entry)
+        if name not in CHECKS:
+            raise KeyError(f"unknown check {name!r}; known: {sorted(CHECKS)}")
+        res = CHECKS[name](ctx, **params)
+        if res is not None:
+            out.append(res)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# built-in check plugins (compose the engine's existing planners)
+# ---------------------------------------------------------------------------
+
+def _schema(ctx: RunContext):
+    s = ctx.ds.schema()
+    actual = s.base_schema if hasattr(s, "base_schema") and isinstance(
+        s.base_schema, pa.Schema) else pa.schema(list(zip(s.names, s.types)))
+    return actual
+
+
+@register("schema")
+def check_schema(ctx: RunContext, mode: str = ""):
+    from .schema import schema_violations
+    spec = ctx.spec
+    if mode:
+        spec = type(spec)(**{**spec.__dict__, "params": {**spec.params, "mode": mode}})
+    return schema_violations(_schema(ctx), spec)
+
+
+@register("spec_completeness")
+def check_spec_completeness(ctx: RunContext):
+    from .schema import spec_completeness_violations
+    return spec_completeness_violations(_schema(ctx), ctx.spec)
+
+
+@register("stateless")
+def check_stateless(ctx: RunContext, include_universals: str = "true",
+                    skip_bytes: str = "false"):
+    from ..stages.facet_stage import StatelessValidator, stateless_columns
+    skip = ("bytes",) if skip_bytes == "true" else ()
+    inc = include_universals == "true"
+    have = set(ctx.meta_ds.schema().names)
+    cols = [c for c in stateless_columns(ctx.spec, skip_columns=skip,
+                                         include_universals=inc) if c in have]
+    return ctx.meta_ds.select_columns(cols).map_batches(
+        StatelessValidator(ctx.spec, skip_columns=skip, include_universals=inc),
+        batch_format="pyarrow")
+
+
+@register("keyed")
+def check_keyed(ctx: RunContext, include_existentials: str = "true"):
+    from .unified_keyed import unified_keyed_violations
+    return unified_keyed_violations(
+        ctx.meta_ds, ctx.spec, refs=ctx.refs,
+        expected_keys=ctx.expected_keys,
+        include_existentials_from_meta=(include_existentials == "true"))
+
+
+@register("decode")
+def check_decode(ctx: RunContext, profile: str = "light", batch_size: str = "256"):
+    from ..stages.decode_stage import bytes_suite_pass
+    if "bytes" not in ctx.ds.schema().names:
+        return None
+    v, p = bytes_suite_pass(ctx.ds, profile=profile, batch_size=int(batch_size))
+    ctx.extras["ext_partials"] = p
+    return v
+
+
+@register("drift")
+def check_drift(ctx: RunContext, ks_threshold: str = "0.1", psi_threshold: str = "0.2"):
+    from .drift import TableProfile, build_profile, drift_violations
+    if not ctx.baseline_profile_path:
+        return None
+    with open(ctx.baseline_profile_path) as f:
+        base = TableProfile.from_json(f.read())
+    prof = build_profile(ctx.meta_ds,
+                         numeric_cols=[c for c in ("dur_ms",) if c in ctx.meta_ds.schema().names],
+                         cat_cols=[c for c in ("codec", "sr_hz") if c in ctx.meta_ds.schema().names],
+                         key_cols=[ctx.spec.key_column] if ctx.spec.key_column else [])
+    return drift_violations(prof, base,
+                            ks_threshold=float(ks_threshold),
+                            psi_threshold=float(psi_threshold))

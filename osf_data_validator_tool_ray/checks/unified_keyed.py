@@ -156,11 +156,6 @@ def unified_keyed_violations(
     union = parts[0]
     for p in parts[1:]:
         union = union.union(p)
-    union = coalesce_partials(union)
-
-    aggs = [Sum(c, alias_name=c) for c in card_cols + mext_cols + dext_cols + ["n_rows"]]
-    aggs += [Max(m, alias_name=m) for m in _MARKERS]
-    merged = union.groupby("key").aggregate(*aggs)
 
     cards_snapshot = list(cards)
     mext_snapshot = list(meta_exts)
@@ -221,4 +216,22 @@ def unified_keyed_violations(
                                            expected="key has >=1 row"))
         return pa.concat_tables(out).combine_chunks() if out else empty_violations()
 
+    # adaptive final merge: the union of combiner partials is
+    # materialized (bounded by distinct keys, spills if huge); small sets
+    # merge driver-side, large ones take the one hash exchange
+    from ..pipelines.relational import DRIVER_MERGE_THRESHOLD
+
+    sum_cols = card_cols + mext_cols + dext_cols + ["n_rows"]
+    union_m = union.materialize()
+    if union_m.count() <= DRIVER_MERGE_THRESHOLD:
+        df = union_m.to_pandas()
+        agg = df.groupby("key", sort=False).agg(
+            {**{c: "sum" for c in sum_cols}, **{m: "max" for m in _MARKERS}}
+        ).reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        return ray.data.from_arrow(emit(t))
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    aggs += [Max(m, alias_name=m) for m in _MARKERS]
+    merged = coalesce_partials(union_m).groupby("key").aggregate(*aggs)
     return merged.map_batches(emit, batch_format="pyarrow")

@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output-xml", help="XML report file (reference dual-format analog)")
     ap.add_argument("--violations-dir", help="violations parquet sink")
     ap.add_argument("--mode", default="strict", choices=["strict", "loose"])
+    ap.add_argument("--checks", help="comma-separated check entries (dvt.ini "
+                    "analog), e.g. 'schema,stateless,decode?profile=full,keyed'; "
+                    "default: the full built-in suite")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
 
@@ -59,7 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     spec = clips_spec(mode=args.mode)
     report: dict = {}
 
-    if args.checkpoint_dir:
+    if args.checks:
+        import pandas as pd
+        from .checks.registry import RunContext, plan_checks
+        files = sorted(glob.glob(args.input))
+        ctx = RunContext(
+            ds=ray.data.read_parquet(files), spec=spec,
+            refs={"refs": ray.data.read_parquet(args.refs)} if args.refs else None,
+            baseline_profile_path=args.baseline_profile)
+        frames = [r.to_pandas() for r in plan_checks(ctx, args.checks.split(","))]
+        v = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["check_id", "severity", "key", "column", "observed", "expected"])
+        err = v[v.severity == "error"].groupby("check_id").size().to_dict()
+        report = {"pass": not err,
+                  "violations": {k: int(n) for k, n in err.items()},
+                  "warnings": {k: int(n) for k, n in
+                               v[v.severity == "warning"].groupby("check_id").size().items()}}
+        if args.violations_dir and len(v):
+            ray.data.from_pandas(v).write_parquet(args.violations_dir)
+            report["violations_dir"] = args.violations_dir
+    elif args.checkpoint_dir:
         from .pipelines.partitioned import validate_partitioned
         from .state.checkpoint import CheckpointStore
         store = CheckpointStore(args.checkpoint_dir)
@@ -107,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
                 vfiles.extend(glob.glob(os.path.join(d, "*.parquet")))
             bad = (ray.data.read_parquet(vfiles).to_pandas()["key"].dropna().unique()
                    if vfiles else [])
+        elif args.checks:
+            bad = v["key"].dropna().unique()
         else:
             bad = res.violations.to_pandas()["key"].dropna().unique()
         report["fix"] = quarantine(ds, list(bad), spec.key_column or "clip_id",

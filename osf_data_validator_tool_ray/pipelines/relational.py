@@ -31,6 +31,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+# combiner outputs below this row count merge driver-side (a few MB);
+# larger sets take the scale-safe hash exchange.  At 10^12-key scale the
+# threshold is never hit and everything shuffles.
+DRIVER_MERGE_THRESHOLD = 5_000_000
+
 
 def filter_rows(
     ds: "ray.data.Dataset",
@@ -77,14 +82,26 @@ def group_count_having(
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ..checks.cardinality import coalesce_partials
-    merged = coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
-               .groupby(keys if len(keys) > 1 else keys[0]) \
-               .aggregate(Sum("_pn", alias_name=count_alias))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).materialize()
 
     def having(t: pa.Table) -> pa.Table:
         counts = t.column(count_alias).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(cmp(counts, n)))
 
+    # adaptive final merge (see coalesce_partials docstring): combiner
+    # output size is known post-materialize; small partial sets merge
+    # driver-side instead of paying a sort-exchange's fixed latency
+    if partials.count() <= DRIVER_MERGE_THRESHOLD:
+        df = partials.to_pandas()
+        agg = df.groupby(keys, sort=False, dropna=False)["_pn"].sum() \
+                .rename(count_alias).reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        return ray.data.from_arrow(having(t))
+
+    merged = coalesce_partials(partials) \
+        .groupby(keys if len(keys) > 1 else keys[0]) \
+        .aggregate(Sum("_pn", alias_name=count_alias))
     return merged.map_batches(having, batch_format="pyarrow")
 
 
@@ -104,13 +121,21 @@ def existential_missing(
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ..checks.cardinality import coalesce_partials
-    merged = coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
-               .groupby(key).aggregate(Sum("_sat", alias_name="_sat"))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).materialize()
 
     def none_satisfy(t: pa.Table) -> pa.Table:
         m = t.column("_sat").to_numpy(zero_copy_only=False) == 0
         return t.filter(pa.array(m)).select([key])
 
+    if partials.count() <= DRIVER_MERGE_THRESHOLD:
+        df = partials.to_pandas()
+        agg = df.groupby(key, sort=False, dropna=False)["_sat"].sum().reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        return ray.data.from_arrow(none_satisfy(t))
+
+    merged = coalesce_partials(partials).groupby(key) \
+        .aggregate(Sum("_sat", alias_name="_sat"))
     return merged.map_batches(none_satisfy, batch_format="pyarrow")
 
 

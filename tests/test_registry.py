@@ -1,0 +1,55 @@
+"""Config-driven check selection (dvt.ini analog): named checks with
+query-string params, planned over a RunContext."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from osf_data_validator_tool_ray.checks.registry import (
+    CHECKS,
+    RunContext,
+    parse_check_entry,
+    plan_checks,
+)
+from osf_data_validator_tool_ray.spec import clips_spec
+from osf_data_validator_tool_ray.synth import synth_clips, synth_refs
+
+
+def test_parse_check_entry():
+    assert parse_check_entry("decode?profile=full&batch_size=64") == (
+        "decode", {"profile": "full", "batch_size": "64"})
+    assert parse_check_entry("stateless") == ("stateless", {})
+
+
+def test_unknown_check_raises():
+    t, _ = synth_clips(20, seed=1, defect_rate=0.0)
+    ctx = RunContext(ds=ray.data.from_arrow(t), spec=clips_spec())
+    with pytest.raises(KeyError):
+        plan_checks(ctx, ["no_such_check"])
+
+
+def test_configured_run_matches_ledger():
+    t, ledger = synth_clips(300, seed=42, defect_rate=0.03)
+    refs, dangling = synth_refs(t, seed=42)
+    ctx = RunContext(ds=ray.data.from_arrow(t).repartition(3), spec=clips_spec(),
+                     refs={"refs": ray.data.from_arrow(refs)})
+    results = plan_checks(ctx, [
+        "schema", "spec_completeness",
+        "stateless?include_universals=false&skip_bytes=true",
+        "decode?profile=light",
+        "keyed?include_existentials=false",
+    ])
+    import pandas as pd
+    frames = []
+    for r in results:
+        frames.append(r.to_pandas() if hasattr(r, "to_pandas") else r.to_pandas())
+    v = pd.concat(frames, ignore_index=True)
+    assert set(ledger["unknown_codec"]) <= set(v[v.check_id == "ENUM-DOMAIN-100"]["key"])
+    assert set(ledger["dup_clip_id"]) <= set(v[v.check_id == "CARD-MAX-100"]["key"])
+    assert set(ledger["truncated_bytes"]) <= set(v[v.check_id == "DECODE-100"]["key"])
+    assert set(dangling) == set(v[v.check_id == "REF-EXISTENCE-100"]["key"])
+
+
+def test_registry_contains_core_checks():
+    assert {"schema", "spec_completeness", "stateless", "keyed",
+            "decode", "drift"} <= set(CHECKS)
