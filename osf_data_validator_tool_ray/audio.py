@@ -192,7 +192,7 @@ _HANN_CACHE: dict = {}
 
 def qa_features_full(f: np.ndarray, sr: int,
                      frame: int = 1024, hop: int = 64,
-                     chunk_frames: int = 64) -> dict:
+                     chunk_frames: int = 32) -> dict:
     """Thorough QA profile: dense spectrogram (hop 64) with per-frame
     centroid mean/std, 8-band energies, spectral entropy, rolloff,
     flatness, dominant frequency, plus an FFT-autocorrelation pitch
