@@ -437,6 +437,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return cand[["id_a", "id_b", "jaccard"]]
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup clustering: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster_id); keep-first keeps rows where doc_id==cluster_id
+    (no SQL oracle — clustering over LSH candidates)."""
+    from osf_data_validator_tool_ray.checks.dedup import (
+        minhash_near_dup_pairs, near_dup_clusters)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+    return near_dup_clusters(pairs)
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """BPE-ish pre-token counts (GPT-2-style split; regex uses lookahead,
     which RE2/DuckDB lacks — no oracle)."""
@@ -485,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "bpe_token_counts": _q_bpe_token_counts,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 

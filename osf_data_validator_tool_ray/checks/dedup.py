@@ -162,6 +162,91 @@ def minhash_near_dup_pairs(
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def near_dup_clusters(
+    pairs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 10,
+    driver_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc id of the component (keep-first dedup keeps
+    the row whose id == cluster_id).
+
+    Small pair sets (the common case — near-dups are rare) resolve with
+    a driver-side union-find; large ones run distributed min-label
+    propagation: explode pairs to (node, neighbor_min) rows, groupby-min
+    per node, join labels back through the pair list, iterate until no
+    label changes (converges in O(diameter) rounds; ray_guide.md dedup
+    pattern)."""
+    import pandas as pd
+
+    mat = pairs.materialize()
+    n_pairs = mat.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64())}))
+    if n_pairs <= driver_threshold:
+        df = mat.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(df[id_a], df[id_b]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(parent)
+        out = pd.DataFrame({"doc_id": nodes,
+                            "cluster_id": [find(n) for n in nodes]})
+        return ray.data.from_pandas(out) if len(out) else ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64())}))
+
+    # distributed min-label propagation
+    from ray.data.aggregate import Min as _Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column(id_a)
+        b = t.column(id_b)
+        return pa.table({"node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         "label": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    edges = mat.map_batches(explode, batch_format="pyarrow", batch_size=None).materialize()
+    labels = edges.groupby("node").aggregate(_Min("label", alias_name="label")) \
+        .map_batches(lambda t: pa.table({
+            "node": t.column("node"),
+            "label": pa.compute.min_element_wise(t.column("node"), t.column("label"))}),
+            batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        # propagate: node's label = min(own label, neighbors' labels)
+        lbl = {"M": labels}
+
+        def join_neighbor_labels(t: pa.Table) -> pa.Table:
+            ldf = lbl["M"].to_pandas().set_index("node")["label"]
+            df = t.to_pandas()
+            df["label"] = df["label"].map(ldf).fillna(df["label"])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand = edges.map_batches(join_neighbor_labels, batch_format="pyarrow",
+                                 batch_size=None)
+        new_labels = cand.union(labels).groupby("node").aggregate(
+            _Min("label", alias_name="label")).materialize()
+        old = labels.to_pandas().set_index("node")["label"]
+        new = new_labels.to_pandas().set_index("node")["label"]
+        labels = new_labels
+        if old.equals(new.reindex(old.index)):
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow")
+
+
 class _SimHashStage:
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col

@@ -1,0 +1,46 @@
+import pandas as pd
+import pytest
+import ray.data
+
+from osf_data_validator_tool_ray.checks.dedup import near_dup_clusters
+
+
+def _pairs(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=["id_a", "id_b"]))
+
+
+def test_clusters_driver_path():
+    # components: {1,2,3}, {10,11}, {20,21,22,23}
+    pairs = _pairs([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (20, 23)])
+    out = near_dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == out[23] == 20
+
+
+def test_clusters_distributed_label_prop():
+    pairs = _pairs([(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)])
+    out = near_dup_clusters(pairs, driver_threshold=0).to_pandas() \
+        .set_index("doc_id")["cluster_id"]
+    assert all(out[i] == 1 for i in (1, 2, 3, 4, 5))   # chain collapses to min
+    assert out[7] == out[8] == 7
+
+
+def test_clusters_empty():
+    pairs = _pairs([])
+    assert near_dup_clusters(pairs).count() == 0
+
+
+def test_end_to_end_minhash_to_clusters():
+    import numpy as np
+    from osf_data_validator_tool_ray.checks.dedup import minhash_near_dup_pairs
+    rng = np.random.default_rng(8)
+    texts = [" ".join(str(rng.integers(0, 500)) for _ in range(80)) for _ in range(30)]
+    ids = list(range(30))
+    # triple-duplicate group {3, 100, 101}
+    texts += [texts[3], texts[3][:-10] + " tail mods"]
+    ids += [100, 101]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(2)
+    pairs = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+    clusters = near_dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+    assert clusters[100] == 3 and clusters[101] == 3
