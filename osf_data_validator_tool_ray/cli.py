@@ -85,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.partitioned import validate_partitioned
         from .state.checkpoint import CheckpointStore
         store = CheckpointStore(args.checkpoint_dir)
-        report = validate_partitioned(args.input, spec, store, decode=args.decode)
+        refs = {"refs": ray.data.read_parquet(args.refs)} if args.refs else None
+        report = validate_partitioned(args.input, spec, store, decode=args.decode,
+                                      refs=refs)
     else:
         from .pipelines.runner import metadata_columns
         files = sorted(glob.glob(args.input))

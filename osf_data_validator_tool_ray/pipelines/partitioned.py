@@ -54,6 +54,7 @@ def validate_partitioned(
     store: CheckpointStore,
     decode: bool = False,
     batch_size: Optional[int] = None,
+    refs: Optional[dict[str, "ray.data.Dataset"]] = None,
 ) -> dict:
     """Run/resume the partitioned validation; returns the merged report.
 
@@ -129,6 +130,19 @@ def validate_partitioned(
         emitter = _make_emitter(cards, exts)
         grouped = merged.map_batches(emitter, batch_format="pyarrow")
         all_viol = grouped if all_viol is None else all_viol.union(grouped)
+
+        # referential existence across ALL partitions: the stored
+        # partials carry every present key, so the refs side anti-joins
+        # against them without touching the raw rows again
+        if refs:
+            from ..checks.referential import ref_existence_violations
+            keys_ds = ray.data.read_parquet(partial_files).map_batches(
+                lambda t: t.select(["key"]), batch_format="pyarrow")
+            for ri in spec.ref_integrity:
+                if ri.ref_table in refs:
+                    rv = ref_existence_violations(
+                        refs[ri.ref_table], ri.ref_column, keys_ds, "key")
+                    all_viol = rv if all_viol is None else all_viol.union(rv)
 
     if all_viol is not None:
         counts = all_viol.groupby("check_id").count().to_pandas()

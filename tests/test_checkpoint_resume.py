@@ -92,6 +92,20 @@ def test_records_have_lineage_and_metrics(dataset, tmp_path):
         assert r["n_rows"] > 0 and r["runtime_s"] > 0 and r["status"] == "done"
 
 
+def test_partitioned_referential_integrity(dataset, tmp_path):
+    """RI across partitions resolves against the stored key partials —
+    and still works on resume (no raw-row recompute)."""
+    from osf_data_validator_tool_ray.spec import clips_spec
+    store = CheckpointStore(str(tmp_path / "ckpt_ri"))
+    pattern = dataset["clips_dir"] + "/*.parquet"
+    refs = {"refs": ray.data.read_parquet(dataset["refs_path"])}
+    rep = validate_partitioned(pattern, clips_spec(), store, refs=refs)
+    assert rep["violations"].get("REF-EXISTENCE-100", 0) == len(dataset["dangling_refs"])
+    rep2 = validate_partitioned(pattern, clips_spec(), store, refs=refs)
+    assert rep2["partitions_ran"] == 0
+    assert rep2["violations"].get("REF-EXISTENCE-100", 0) == len(dataset["dangling_refs"])
+
+
 def test_quarantine_fix_path(dataset, tmp_path):
     meta = dataset
     ds = ray.data.read_parquet(meta["clips_dir"])
