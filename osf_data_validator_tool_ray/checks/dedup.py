@@ -154,12 +154,11 @@ def minhash_near_dup_pairs(
                 ia.append(a); ib.append(b); js.append(float(eq[j]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": js})
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    from ..pipelines.relational import adaptive_groupby_apply, _adaptive_dedup_agg
+    pairs = adaptive_groupby_apply(banded, ["band_id", "band_key"], bucket_pairs,
+                                   skip_singletons=True)
     # dedup identical pairs discovered in multiple bands (keep max estimate)
-    from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], "est_jaccard", "max")
 
 
 def near_dup_clusters(
@@ -311,7 +310,8 @@ def simhash_near_dup_pairs(
                 ia.append(a); ib.append(b); hs.append(int(np.atleast_1d(ham)[j]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hs})
 
-    pairs = sigs.map_batches(explode, batch_format="pyarrow") \
-                .groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min as _Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
+    from ..pipelines.relational import adaptive_groupby_apply, _adaptive_dedup_agg
+    pairs = adaptive_groupby_apply(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_val"], bucket_pairs, skip_singletons=True)
+    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], "hamming", "min")

@@ -139,6 +139,60 @@ def existential_missing(
     return merged.map_batches(none_satisfy, batch_format="pyarrow")
 
 
+def adaptive_groupby_apply(
+    ds: "ray.data.Dataset",
+    keys: "str | list[str]",
+    fn,
+    threshold: int = DRIVER_MERGE_THRESHOLD,
+    skip_singletons: bool = False,
+) -> "ray.data.Dataset":
+    """groupby(keys).map_groups(fn) with the adaptive small-data path:
+    materialize, count, and when the input is small run the per-group
+    pandas fn on the driver instead of paying a sort exchange.  fn:
+    pandas group -> pandas DataFrame, same contract as map_groups.
+
+    skip_singletons=True drops 1-row groups before applying — pair-style
+    fns return empty for them, and the driver path would otherwise pay a
+    Python call per (mostly singleton) bucket."""
+    import pandas as pd
+
+    keylist = [keys] if isinstance(keys, str) else list(keys)
+    mat = ds.materialize()
+    if mat.count() <= threshold:
+        df = mat.to_pandas()
+        probe = fn(df.iloc[:0]) if len(df) else pd.DataFrame()
+        if skip_singletons and len(df):
+            df = df[df.groupby(keylist, sort=False)[keylist[0]].transform("size") > 1]
+        if len(df) == 0:
+            return ray.data.from_pandas(probe)
+        out = [fn(g) for _, g in df.groupby(keylist, sort=False, dropna=False)]
+        out = [o for o in out if len(o)]
+        if not out:
+            return ray.data.from_pandas(probe)
+        return ray.data.from_pandas(pd.concat(out, ignore_index=True))
+    return mat.groupby(keys if len(keylist) > 1 else keylist[0]).map_groups(
+        fn, batch_format="pandas")
+
+
+def _adaptive_dedup_agg(
+    ds: "ray.data.Dataset", keys: list[str], value_col: str, how: str,
+    threshold: int = DRIVER_MERGE_THRESHOLD,
+) -> "ray.data.Dataset":
+    """groupby(keys).agg(min/max of value_col) with the driver fast path."""
+    import pandas as pd
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    mat = ds.materialize()
+    if mat.count() <= threshold:
+        df = mat.to_pandas()
+        if len(df) == 0:
+            return mat
+        agg = df.groupby(keys, sort=False)[value_col].agg(how).reset_index()
+        return ray.data.from_pandas(agg)
+    agg_cls = _Max if how == "max" else _Min
+    return mat.groupby(keys).aggregate(agg_cls(value_col, alias_name=value_col))
+
+
 def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
     """Global DISTINCT of one column: per-batch unique partial (combiner)
     then one groupby — the `select distinct ?p` shape
