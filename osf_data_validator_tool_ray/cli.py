@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                     "analog), e.g. 'schema,stateless,decode?profile=full,keyed'; "
                     "default: the full built-in suite")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--stats", action="store_true",
+                    help="print ray Dataset per-stage stats to stderr")
     args = ap.parse_args(argv)
 
     import ray
@@ -101,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
             violations.write_parquet(args.violations_dir)
             res.violations = ray.data.read_parquet(args.violations_dir)
         report = res.report()
+        if args.stats:
+            try:
+                print(res.violations.stats(), file=sys.stderr)
+            except Exception:   # stats() availability varies by plan shape
+                pass
         if args.output_xml:
             with open(args.output_xml, "w") as f:
                 f.write(res.report_xml())

@@ -5,13 +5,16 @@ pipelines that share one source:
 
   1. driver-side metadata checks (schema conformance, spec completeness)
   2. ONE fused stateless map_batches pass (facets, enums, cross-domain,
-     universal predicates) over a column-pruned scan
-  3. ONE grouped shuffle for all cardinality + existential constraints
-  4. anti-join passes for referential integrity / zero-edge
-  5. (optional) the audio-decode actor-pool stage
+     and — in sniff mode — universal predicates) over a column-pruned scan
+  3. ONE exchange for ALL keyed constraints (cardinality, referential
+     existence, existential, zero-edge) over tagged combiner partials
+     (checks/unified_keyed.py)
+  4. decode=True: ONE scan of the payload column (bytes_suite_pass)
+     yielding every bytes-derived finding, overlapped with 2-3 via a
+     driver thread so the exchange never sits on the critical path
 
-Violation Datasets are unioned lazily; the verdict aggregation
-(groupby check_id, tiny) is the only driver materialization.
+Violation Datasets are unioned; the verdict aggregation (groupby
+check_id, tiny) is the only driver materialization of consequence.
 """
 
 from __future__ import annotations
@@ -25,8 +28,6 @@ import pyarrow as pa
 import ray.data
 
 from ..checks.base import VIOLATION_SCHEMA, empty_violations
-from ..checks.cardinality import grouped_violations
-from ..checks.referential import ref_existence_violations, zero_edge_violations
 from ..checks.schema import schema_violations, spec_completeness_violations
 from ..spec import ConstraintSpec
 from ..stages.facet_stage import StatelessValidator, stateless_columns

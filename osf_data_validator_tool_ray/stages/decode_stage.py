@@ -1,9 +1,15 @@
-"""Audio-decode actor-pool stage — the engine's flagship stateful stage.
+"""Audio-decode stage — the engine's flagship payload stage.
 
-``map_batches(AudioDecodeValidator, concurrency=(min,max), batch_size=B,
-num_cpus=1)``: each actor holds decoder state (codec dispatch tables,
-optional baseline RMS profile) built once in ``__init__``; ``__call__``
-fully decodes every payload of the batch and emits per-row decode stats:
+Two scheduling modes share one validator class:
+  * task workers (default): ``map_batches(AudioDecodeValidator(...))`` —
+    an instance schedules as tasks in Ray's warm worker processes; setup
+    amortizes across runs with no actor-pool spin-up.
+  * actor pool (``use_actors=True`` / ``map_batches(AudioDecodeValidator,
+    concurrency=(min,max), num_cpus=1)``): for genuinely heavy per-worker
+    state (models) built once in ``__init__``.
+
+``__call__`` fully decodes every payload of the batch and emits per-row
+decode stats:
 
   clip_id, decoded_ok, frames, payload_sr_hz, payload_codec, rms,
   peak, pcm_md5 (hash of the integer-domain samples — the per-row parity
