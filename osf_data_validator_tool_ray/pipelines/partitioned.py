@@ -90,10 +90,16 @@ def validate_partitioned(
             viol = viol.union(decode_violations(ds))
         v_tmp = tmp_base + "_violations"
         viol.write_parquet(v_tmp)
-        store.publish_artifact(pid, "violations", v_tmp)
+        vdir = store.publish_artifact(pid, "violations", v_tmp)
 
+        # per-partition verdict from the written artifact's parquet
+        # metadata (no recompute)
+        import pyarrow.parquet as pq
+        n_viol = sum(pq.ParquetFile(f).metadata.num_rows
+                     for f in glob.glob(os.path.join(vdir, "*.parquet")))
         n_rows = ds.count()
-        metrics = {"n_rows": n_rows, "lineage": path}
+        metrics = {"n_rows": n_rows, "lineage": path,
+                   "n_violations": n_viol, "pass": n_viol == 0}
 
         if key and (cards or exts) and key in ds.schema().names:
             partials = ds.map_batches(
@@ -150,7 +156,15 @@ def validate_partitioned(
         report["violations"] = {r["check_id"]: int(r["n"]) for _, r in counts.iterrows()}
     else:
         report["violations"] = {}
-    report["n_rows"] = sum(r.get("n_rows", 0) for r in store.records())
+    recs = store.records()
+    report["n_rows"] = sum(r.get("n_rows", 0) for r in recs)
+    report["partitions"] = {
+        r["partition_id"]: {"pass": r.get("pass", True),
+                            "n_violations": r.get("n_violations", 0),
+                            "n_rows": r.get("n_rows", 0),
+                            "lineage": r.get("lineage")}
+        for r in recs
+    }
     report["pass"] = not report["violations"]
     return report
 

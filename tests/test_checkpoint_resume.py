@@ -90,6 +90,11 @@ def test_records_have_lineage_and_metrics(dataset, tmp_path):
     for r in recs:
         assert r["lineage"].endswith(".parquet")
         assert r["n_rows"] > 0 and r["runtime_s"] > 0 and r["status"] == "done"
+        assert "pass" in r and "n_violations" in r
+    # per-partition verdicts surface in the merged report
+    rep = validate_partitioned(dataset["clips_dir"] + "/*.parquet", clips_spec(), store)
+    assert len(rep["partitions"]) == 4
+    assert any(not p["pass"] for p in rep["partitions"].values())
 
 
 def test_partitioned_referential_integrity(dataset, tmp_path):
