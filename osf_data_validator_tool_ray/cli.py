@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output-xml", help="XML report file (reference dual-format analog)")
     ap.add_argument("--violations-dir", help="violations parquet sink")
     ap.add_argument("--mode", default="strict", choices=["strict", "loose"])
+    ap.add_argument("--spec", help="JSON constraint-spec file (spec_to_dict "
+                    "format) — validates ANY table, not just clips")
     ap.add_argument("--checks", help="comma-separated check entries (dvt.ini "
                     "analog), e.g. 'schema,stateless,decode?profile=full,keyed'; "
                     "default: the full built-in suite")
@@ -61,7 +63,13 @@ def main(argv: list[str] | None = None) -> int:
     from .spec import clips_spec
     from .pipelines.runner import run_suite
 
-    spec = clips_spec(mode=args.mode)
+    if args.spec:
+        from .spec import spec_from_dict
+        with open(args.spec) as f:
+            spec = spec_from_dict(json.load(f))
+        spec.params.setdefault("mode", args.mode)
+    else:
+        spec = clips_spec(mode=args.mode)
     report: dict = {}
 
     if args.checks:

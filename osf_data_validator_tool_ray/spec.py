@@ -162,6 +162,63 @@ class ConstraintSpec:
     params: dict[str, Any] = field(default_factory=dict)  # check params (?mode=strict|loose analog)
 
 
+def spec_to_dict(spec: "ConstraintSpec") -> dict:
+    """JSON-serializable form of a spec (the dvt.ini-file analog: the
+    whole 'ontology' as declarative config)."""
+    d: dict = {"table": spec.table, "key_column": spec.key_column,
+               "params": dict(spec.params)}
+    if spec.expected_schema is not None:
+        d["expected_schema"] = {f.name: str(f.type) for f in spec.expected_schema}
+    d["facets"] = {c: {k: v for k, v in f.__dict__.items() if v not in (None, False)}
+                   for c, f in spec.facets.items()}
+    d["enums"] = [{"column": e.column, "allowed": sorted(e.allowed),
+                   "parents": dict(e.parents)} for e in spec.enums]
+    d["cross_domains"] = [{"type_column": c.type_column, "column": c.column,
+                           "allowed": {k: sorted(v) for k, v in c.allowed.items()},
+                           "unknown_type_ok": c.unknown_type_ok}
+                          for c in spec.cross_domains]
+    d["cardinalities"] = [{k: v for k, v in c.__dict__.items() if v is not None}
+                          for c in spec.cardinalities]
+    d["ref_integrity"] = [dict(r.__dict__) for r in spec.ref_integrity]
+    d["existentials"] = [dict(e.__dict__) for e in spec.existentials]
+    d["universals"] = [dict(u.__dict__) for u in spec.universals]
+    return d
+
+
+def spec_from_dict(d: dict) -> "ConstraintSpec":
+    schema = None
+    if d.get("expected_schema"):
+        schema = pa.schema([(n, _parse_type(t)) for n, t in d["expected_schema"].items()])
+    return ConstraintSpec(
+        table=d.get("table", "table"),
+        key_column=d.get("key_column"),
+        expected_schema=schema,
+        params=d.get("params", {}),
+        facets={c: Facets(**f) for c, f in d.get("facets", {}).items()},
+        enums=[EnumDomain(column=e["column"], allowed=frozenset(e["allowed"]),
+                          parents=e.get("parents", {})) for e in d.get("enums", [])],
+        cross_domains=[CrossColumnDomain(
+            type_column=c["type_column"], column=c["column"],
+            allowed={k: frozenset(v) for k, v in c["allowed"].items()},
+            unknown_type_ok=c.get("unknown_type_ok", True))
+            for c in d.get("cross_domains", [])],
+        cardinalities=[Cardinality(**c) for c in d.get("cardinalities", [])],
+        ref_integrity=[RefIntegrity(**r) for r in d.get("ref_integrity", [])],
+        existentials=[Existential(**e) for e in d.get("existentials", [])],
+        universals=[Universal(**u) for u in d.get("universals", [])],
+    )
+
+
+def _parse_type(name: str) -> pa.DataType:
+    try:
+        return pa.type_for_alias(name)
+    except ValueError:
+        if name.startswith("timestamp"):
+            unit = name.split("[")[1].rstrip("]") if "[" in name else "us"
+            return pa.timestamp(unit)
+        raise
+
+
 # ---------------------------------------------------------------------------
 # The flagship spec for the audio clip + transcript table (input_hint shape).
 # ---------------------------------------------------------------------------
