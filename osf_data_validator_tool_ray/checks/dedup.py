@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 from ..functions import text as T
 

@@ -19,7 +19,6 @@ import json
 from dataclasses import dataclass, field
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -23,8 +23,6 @@ Two scale regimes:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -13,9 +13,6 @@
 
 from __future__ import annotations
 
-import heapq
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -18,7 +18,6 @@ Implementations follow the public algorithms:
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd

@@ -19,7 +19,7 @@ rows skip the exact set; only bloom-positives consult it.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -31,13 +31,11 @@ import time
 import uuid
 from typing import Optional
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..checks.base import VIOLATION_SCHEMA, empty_violations
 from ..checks.cardinality import _PartialAggregator
 from ..spec import ConstraintSpec
 from ..stages.facet_stage import StatelessValidator, stateless_columns

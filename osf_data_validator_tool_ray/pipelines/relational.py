@@ -26,10 +26,9 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 # combiner outputs below this row count merge driver-side (a few MB);
 # larger sets take the scale-safe hash exchange.  At 10^12-key scale the

@@ -27,7 +27,6 @@ import pyarrow as pa
 
 import ray.data
 
-from ..checks.base import VIOLATION_SCHEMA, empty_violations
 from ..checks.schema import schema_violations, spec_completeness_violations
 from ..spec import ConstraintSpec
 from ..stages.facet_stage import StatelessValidator, stateless_columns

@@ -31,7 +31,6 @@ Violations derived from the stats (checks/decode_checks):
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

@@ -27,7 +27,7 @@ from .base_ids import (
     ENUM_DOMAIN_100,
     ONLY_100,
 )
-from ..checks.base import VIOLATION_SCHEMA, empty_violations, mask_violations
+from ..checks.base import empty_violations, mask_violations
 from ..checks.predicates import PREDICATE_COLUMNS, PREDICATES
 
 
