@@ -91,8 +91,18 @@ class StatelessValidator:
                 sel = (types == tval).to_numpy(dtype=bool)
                 if sel.any():
                     bad |= sel & (~vals.isin(allowed)).to_numpy(dtype=bool) & vals.notna().to_numpy(dtype=bool)
+            unknown = ~known & types.notna().to_numpy(dtype=bool)
             if not cd.unknown_type_ok:
-                bad |= ~known & types.notna().to_numpy(dtype=bool)
+                bad |= unknown
+            elif unknown.any():
+                # warning tier (the reference's -50 id discipline): a type
+                # value with no domain entry can't be validated
+                w = mask_violations(batch, unknown, "CROSS-DOMAIN-50", self.key,
+                                    cd.type_column,
+                                    expected=f"domain entry for {cd.type_column} value",
+                                    severity="warning")
+                if w is not None:
+                    out.append(w)
             v = mask_violations(batch, bad, CROSS_DOMAIN_100, self.key, cd.column,
                                 expected=f"allowed per {cd.type_column}")
             if v is not None:

@@ -30,6 +30,15 @@ def test_loose_mode_widening_is_warning():
     assert rep["pass"] is True      # warnings never fail a check
 
 
+def test_unknown_cross_domain_type_is_warning():
+    t, ledger = synth_clips(300, seed=42, defect_rate=0.03)
+    res = run_suite(ray.data.from_arrow(t), clips_spec())
+    rep = res.report()
+    # unknown codec rows can't be domain-validated -> warning, not error
+    assert rep["checks"]["CROSS-DOMAIN-50"]["n_warnings"] >= len(ledger["unknown_codec"])
+    assert rep["checks"]["CROSS-DOMAIN-50"]["n_violations"] == 0
+
+
 def test_xml_report():
     t, _ = synth_clips(60, seed=4, defect_rate=0.05)
     res = run_suite(ray.data.from_arrow(t), clips_spec())
