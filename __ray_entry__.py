@@ -437,6 +437,33 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return cand[["id_a", "id_b", "jaccard"]]
 
 
+def _q_join_revenue_by_segment(sf_dir: str):
+    """Hash join orders x customer on custkey, then revenue per market
+    segment (float sums rounded to 2dp: fp ordering noise ~1e-7 is far
+    below the rounding threshold)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from osf_data_validator_tool_ray.pipelines.relational import hash_join
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.set_column(0, "o_custkey", t.column("c_custkey").cast(pa.int64()))
+                   .select(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, cust, key="o_custkey", how="inner")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # round(x*100)/100 matches DuckDB ROUND's representable double
+        # (pyarrow pc.round can land one ULP away)
+        v = np.round(t.column("total").to_numpy(zero_copy_only=False) * 100.0) / 100.0
+        return t.set_column(t.schema.get_field_index("total"), "total",
+                            pa.array(v, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup clustering: MinHash-LSH pairs -> connected components ->
     (doc_id, cluster_id); keep-first keeps rows where doc_id==cluster_id
@@ -497,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
+        "join_revenue_by_segment": _q_join_revenue_by_segment,
     }
 
 
@@ -626,6 +654,12 @@ def oracle_sql() -> dict[str, str]:
                                                    l_linenumber ASC) AS rank
                 FROM lineitem
             ) WHERE rank <= 3
+        """,
+        "join_revenue_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "ann_topk": """
             WITH q AS (

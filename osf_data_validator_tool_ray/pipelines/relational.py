@@ -230,3 +230,42 @@ def distinct_counts(ds: "ray.data.Dataset", columns: Sequence[str]) -> pa.Table:
             for lst in b.column(c).to_pylist():
                 sets[c].update(lst)
     return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64()) for c in cols})
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Equi-join on ``key``.
+
+    Uses Ray's native hash-partitioned ``Dataset.join`` when present
+    (Ray >= 2.46); otherwise falls back to the portable tagged-union
+    bucket join (ray_guide.md): union both sides with a side marker,
+    groupby(key), per-key pandas merge.  Broadcast the small side with
+    checks.referential.broadcast_membership_filter-style probes instead
+    when one side fits in memory — this operator is for big-big."""
+    import ray as _ray
+
+    n = num_partitions or max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    if hasattr(ray.data.Dataset, "join"):
+        return left.join(right, join_type=how, num_partitions=n, on=(key,))
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+        return fn
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["_side"] == "l"][lcols]
+        gr = g[g["_side"] == "r"][[c for c in rcols if c != key or key not in lcols]]
+        return gl.merge(gr, on=key, how=how)
+
+    lp = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
+    rp = right.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+    return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")

@@ -125,3 +125,16 @@ def test_topk_per_group():
     top1 = out[(out.k == 1)].sort_values("rank")
     assert top1.v.tolist() == [7, 6]
     assert (out.groupby("k").size() <= 2).all()
+
+
+def test_hash_join():
+    import ray
+    from osf_data_validator_tool_ray.pipelines.relational import hash_join
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})).repartition(2)
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 4], "rv": ["a", "b", "d"]})).repartition(2)
+    out = hash_join(left, right, key="k", how="inner").to_pandas() \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    assert out[["k", "lv", "rv"]].values.tolist() == [
+        [1, 10, "a"], [1, 11, "a"], [2, 20, "b"]]
