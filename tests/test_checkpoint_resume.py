@@ -111,6 +111,23 @@ def test_partitioned_referential_integrity(dataset, tmp_path):
     assert rep2["violations"].get("REF-EXISTENCE-100", 0) == len(dataset["dangling_refs"])
 
 
+def test_corrupt_record_revalidates(dataset, tmp_path):
+    """A half-written (crashed) record is not 'complete': the partition
+    re-runs and its artifacts are atomically overwritten, not duplicated."""
+    store = CheckpointStore(str(tmp_path / "ckpt_corrupt"))
+    pattern = dataset["clips_dir"] + "/*.parquet"
+    rep1 = validate_partitioned(pattern, clips_spec(), store)
+    pid = sorted(store.completed())[0]
+    # simulate a crash mid-write: truncate the record
+    with open(store._record_path(pid), "w") as f:
+        f.write('{"partition_id": "x", "n_ro')
+    assert pid not in store.completed()
+    rep2 = validate_partitioned(pattern, clips_spec(), store)
+    assert rep2["partitions_ran"] == 1 and rep2["partitions_skipped"] == 3
+    # merged violation counts identical after the overwrite (no dupes)
+    assert rep2["violations"] == rep1["violations"]
+
+
 def test_quarantine_fix_path(dataset, tmp_path):
     meta = dataset
     ds = ray.data.read_parquet(meta["clips_dir"])
