@@ -114,7 +114,7 @@ def unified_keyed_violations(
     else:
         def key_only(t: pa.Table) -> pa.Table:
             u = pd.unique(t.column(key).to_pandas().dropna())
-            base = pa.table({"key": pa.array(u.astype(str), type=pa.string()),
+            base = pa.table({"key": pa.array(u, type=t.schema.field(key).type),
                              "n_rows": pa.array(np.ones(len(u), dtype=np.int64))})
             return _pad(base, all_cols)
         parts.append(meta_ds.select_columns([key]).map_batches(
@@ -127,8 +127,10 @@ def unified_keyed_violations(
             rds = refs[ri.ref_table]
 
             def ref_partial(t: pa.Table, col=ri.ref_column) -> pa.Table:
+                # key dtype preserved — must match the metadata partials'
+                # key type for the union (ints stay ints)
                 u = pd.unique(t.column(col).to_pandas().dropna())
-                base = pa.table({"key": pa.array(u.astype(str), type=pa.string()),
+                base = pa.table({"key": pa.array(u, type=t.schema.field(col).type),
                                  "is_ref": pa.array(np.ones(len(u), dtype=np.int64))})
                 return _pad(base, all_cols)
 
@@ -138,8 +140,9 @@ def unified_keyed_violations(
     if expected_keys is not None:
         def exp_partial(t: pa.Table) -> pa.Table:
             u = pd.unique(t.column(expected_key_column).to_pandas().dropna())
-            base = pa.table({"key": pa.array(u.astype(str), type=pa.string()),
-                             "is_expected": pa.array(np.ones(len(u), dtype=np.int64))})
+            base = pa.table({"key": pa.array(
+                u, type=t.schema.field(expected_key_column).type),
+                "is_expected": pa.array(np.ones(len(u), dtype=np.int64))})
             return _pad(base, all_cols)
         parts.append(expected_keys.select_columns([expected_key_column]).map_batches(
             exp_partial, batch_format="pyarrow", batch_size=None))

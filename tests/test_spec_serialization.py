@@ -57,3 +57,22 @@ def test_generic_table_spec():
     assert set(v[v["column"] == "email"]["key"]) == {"b", "c"}
     assert set(v[v["column"] == "age"]["key"]) == {"b"}
     assert set(v[v.check_id == "CARD-MAX-100"]["key"]) == {"b"}
+
+
+def test_int_keyed_table_with_refs():
+    """Integer primary keys flow through the unified keyed pass (incl.
+    referential existence) without string coercion mismatches."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.spec import spec_from_dict
+    spec = spec_from_dict({
+        "table": "t", "key_column": "id",
+        "facets": {"id": {"dtype": "int", "not_null": True}},
+        "cardinalities": [{"key": "id", "column": "id", "max_count": 1}],
+        "ref_integrity": [{"ref_table": "refs", "ref_column": "tid",
+                           "key_column": "id"}],
+    })
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2, 2, 3]}))
+    refs = ray.data.from_pandas(pd.DataFrame({"tid": [1, 3, 99]}))
+    v = run_suite(ds, spec, refs={"refs": refs}).violations.to_pandas()
+    assert set(v[v.check_id == "CARD-MAX-100"]["key"]) == {"2"}
+    assert set(v[v.check_id == "REF-EXISTENCE-100"]["key"]) == {"99"}
