@@ -147,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             bad = (ray.data.read_parquet(vfiles).to_pandas()["key"].dropna().unique()
                    if vfiles else [])
         elif args.checks:
-            bad = v["key"].dropna().unique()
+            bad = v["key"].dropna().unique() if "key" in v.columns else []
         else:
             bad = res.violations.to_pandas()["key"].dropna().unique()
         report["fix"] = quarantine(ds, list(bad), spec.key_column or "clip_id",

@@ -79,13 +79,25 @@ def validate_partitioned(
 
         tmp_base = os.path.join(store.root, f"_tmp_{pid}_{uuid.uuid4().hex[:6]}")
 
-        cols = [c for c in stateless_columns(spec) if c in ds.schema().names]
+        # decode=True: the fused pass is the ONE scan of the bytes column
+        # (stateless drops its bytes-sniffing universals; the decodable
+        # existential comes from the stored ext partials)
+        have_bytes = decode and "bytes" in ds.schema().names
+        cols = [c for c in stateless_columns(
+            spec, skip_columns=("bytes",) if have_bytes else (),
+            include_universals=not have_bytes) if c in ds.schema().names]
         viol = ds.select_columns(cols).map_batches(
-            StatelessValidator(spec), batch_format="pyarrow",
+            StatelessValidator(spec, skip_columns=("bytes",) if have_bytes else (),
+                               include_universals=not have_bytes),
+            batch_format="pyarrow",
             **({"batch_size": batch_size} if batch_size else {}))
-        if decode:
-            from ..stages.decode_stage import decode_violations
-            viol = viol.union(decode_violations(ds))
+        if have_bytes:
+            from ..stages.decode_stage import bytes_suite_pass
+            bytes_v, ext_p = bytes_suite_pass(ds)
+            viol = viol.union(bytes_v)
+            e_tmp = tmp_base + "_extpartials"
+            ext_p.write_parquet(e_tmp)
+            store.publish_artifact(pid, "ext_partials", e_tmp)
         v_tmp = tmp_base + "_violations"
         viol.write_parquet(v_tmp)
         vdir = store.publish_artifact(pid, "violations", v_tmp)
@@ -99,9 +111,12 @@ def validate_partitioned(
         metrics = {"n_rows": n_rows, "lineage": path,
                    "n_violations": n_viol, "pass": n_viol == 0}
 
-        if key and (cards or exts) and key in ds.schema().names:
+        # grouped-constraint partials: metadata only when the fused decode
+        # pass already contributed the existential partials
+        part_exts = [] if have_bytes else exts
+        if key and (cards or part_exts) and key in ds.schema().names:
             partials = ds.map_batches(
-                _PartialAggregator(key, cards, exts), batch_format="pyarrow",
+                _PartialAggregator(key, cards, part_exts), batch_format="pyarrow",
                 **({"batch_size": batch_size} if batch_size else {}))
             p_tmp = tmp_base + "_partials"
             partials.write_parquet(p_tmp)
@@ -127,26 +142,38 @@ def validate_partitioned(
     partial_files = _files(store.artifact_dirs("partials"))
     if partial_files and key and (cards or exts):
         partials = ray.data.read_parquet(partial_files)
-        sums = [Sum(f"card{i}_n", alias_name=f"card{i}_n") for i in range(len(cards))]
-        sums += [Sum(f"ext{j}_n", alias_name=f"ext{j}_n") for j in range(len(exts))]
+        # sum only the columns these partials carry: decode-fused runs
+        # store existential partials separately (ext_partials artifacts)
+        have_cols = set(partials.schema().names)
+        merge_exts = [e for j, e in enumerate(exts) if f"ext{j}_n" in have_cols]
+        sums = [Sum(f"card{i}_n", alias_name=f"card{i}_n")
+                for i in range(len(cards)) if f"card{i}_n" in have_cols]
+        sums += [Sum(f"ext{j}_n", alias_name=f"ext{j}_n")
+                 for j in range(len(merge_exts))]
         sums += [Sum("n_rows", alias_name="n_rows")]
         merged = partials.groupby("key").aggregate(*sums)
-        emitter = _make_emitter(cards, exts)
+        emitter = _make_emitter(cards, merge_exts)
         grouped = merged.map_batches(emitter, batch_format="pyarrow")
         all_viol = grouped if all_viol is None else all_viol.union(grouped)
 
-        # referential existence across ALL partitions: the stored
-        # partials carry every present key, so the refs side anti-joins
-        # against them without touching the raw rows again
-        if refs:
-            from ..checks.referential import ref_existence_violations
-            keys_ds = ray.data.read_parquet(partial_files).map_batches(
-                lambda t: t.select(["key"]), batch_format="pyarrow")
-            for ri in spec.ref_integrity:
-                if ri.ref_table in refs:
-                    rv = ref_existence_violations(
-                        refs[ri.ref_table], ri.ref_column, keys_ds, "key")
-                    all_viol = rv if all_viol is None else all_viol.union(rv)
+    ext_files = _files(store.artifact_dirs("ext_partials"))
+    if ext_files:
+        from ..stages.decode_stage import existential_violations_from_partials
+        ev = existential_violations_from_partials(ray.data.read_parquet(ext_files))
+        all_viol = ev if all_viol is None else all_viol.union(ev)
+
+    # referential existence across ALL partitions: the stored partials
+    # carry every present key, so the refs side anti-joins against them
+    # without touching the raw rows again
+    if refs and partial_files:
+        from ..checks.referential import ref_existence_violations
+        keys_ds = ray.data.read_parquet(partial_files).map_batches(
+            lambda t: t.select(["key"]), batch_format="pyarrow")
+        for ri in spec.ref_integrity:
+            if ri.ref_table in refs:
+                rv = ref_existence_violations(
+                    refs[ri.ref_table], ri.ref_column, keys_ds, "key")
+                all_viol = rv if all_viol is None else all_viol.union(rv)
 
     if all_viol is not None:
         counts = all_viol.groupby("check_id").count().to_pandas()
