@@ -22,3 +22,24 @@ Architecture (NOT a port — see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import osf_data_validator_tool_ray`
+    free of Ray imports until actually used)."""
+    api = {
+        "run_suite": ("pipelines.runner", "run_suite"),
+        "SuiteResult": ("pipelines.runner", "SuiteResult"),
+        "metadata_columns": ("pipelines.runner", "metadata_columns"),
+        "validate_partitioned": ("pipelines.partitioned", "validate_partitioned"),
+        "CheckpointStore": ("state.checkpoint", "CheckpointStore"),
+        "ConstraintSpec": ("spec", "ConstraintSpec"),
+        "clips_spec": ("spec", "clips_spec"),
+        "spec_from_dict": ("spec", "spec_from_dict"),
+        "spec_to_dict": ("spec", "spec_to_dict"),
+    }
+    if name in api:
+        import importlib
+        mod, attr = api[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)

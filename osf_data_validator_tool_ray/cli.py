@@ -108,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         res = run_suite(ds, spec, refs=refs, decode=args.decode, metadata_ds=meta_ds)
         violations = res.violations
         if args.violations_dir:
-            violations.write_parquet(args.violations_dir)
+            # deterministic output ordering: reproducible violation files
+            # for parity diffs (SURVEY §7.4)
+            violations.sort(["check_id", "key", "column"]).write_parquet(
+                args.violations_dir)
             res.violations = ray.data.read_parquet(args.violations_dir)
         report = res.report()
         if args.stats:
