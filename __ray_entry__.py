@@ -75,11 +75,13 @@ def _q_facet_bounds(sf_dir: str):
     rows whose l_quantity violates [2, 48]."""
     from osf_data_validator_tool_ray.pipelines.relational import filter_rows
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-    return filter_rows(
+    out = filter_rows(
         ds,
         lambda t: pc.or_(pc.less(t["l_quantity"], 2.0), pc.greater(t["l_quantity"], 48.0)),
         columns=["l_orderkey", "l_linenumber", "l_quantity"],
     )
+    return _stable_empty(out, ["l_orderkey", "l_linenumber", "l_quantity"],
+                         ["int64", "int32", "float64"])
 
 
 def _q_enum_domain(sf_dir: str):
@@ -139,7 +141,9 @@ def _q_universal(sf_dir: str):
     from osf_data_validator_tool_ray.pipelines.relational import filter_rows
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
     cut = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
-    return filter_rows(ds, lambda t: pc.greater_equal(t["l_shipdate"], cut))
+    out = filter_rows(ds, lambda t: pc.greater_equal(t["l_shipdate"], cut))
+    return _stable_empty(out, ["l_orderkey", "l_linenumber", "l_shipdate"],
+                         ["int64", "int32", "datetime64[us]"])
 
 
 def _q_ri_missing(sf_dir: str):
@@ -152,7 +156,8 @@ def _q_ri_missing(sf_dir: str):
         lambda t: t.set_column(0, "s_suppkey", t.column("s_suppkey").cast(pa.int64())),
         batch_format="pyarrow")
     miss = anti_join_missing(events, "user_id", supplier, "s_suppkey")
-    return miss.map_batches(lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow")
+    miss = miss.map_batches(lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow")
+    return _stable_empty(miss, ["user_id"], ["int64"])
 
 
 def _q_zero_edge(sf_dir: str):
@@ -182,8 +187,10 @@ def _q_cross_domain(sf_dir: str):
     violations listed."""
     from osf_data_validator_tool_ray.pipelines.relational import filter_rows
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    return filter_rows(ds, lambda t: pc.and_(
+    out = filter_rows(ds, lambda t: pc.and_(
         pc.equal(t["event_type"], "purchase"), pc.less(t["value"], 1.0)))
+    return _stable_empty(out, ["event_id", "event_type", "value"],
+                         ["int64", "object", "float64"])
 
 
 def _q_distinct_counts(sf_dir: str):
