@@ -425,23 +425,20 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     """Exact character-5-gram Jaccard verification of MinHash candidate
     pairs (no oracle — exact-Jaccard semantics tested in pytest)."""
     import pandas as pd
-    from osf_data_validator_tool_ray.checks.dedup import minhash_near_dup_pairs
-    from osf_data_validator_tool_ray.functions.text import char_shingle_hashes, exact_jaccard
+    from osf_data_validator_tool_ray.checks.dedup import (
+        exact_jaccard_for_pairs, minhash_near_dup_pairs)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.4).to_pandas()
     if cand.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-    import pyarrow.parquet as pq
-    texts = dict(zip(*[pq.read_table(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id", "text"]).column(c).to_pylist()
-                       for c in ("doc_id", "text")]))
-    sh = {i: char_shingle_hashes(texts[i], 5) for i in
-          set(cand.id_a) | set(cand.id_b)}
-    cand["jaccard"] = [exact_jaccard(sh[a], sh[b])
-                       for a, b in zip(cand.id_a, cand.id_b)]
-    return cand[["id_a", "id_b", "jaccard"]]
+    # distributed verify: candidate-id set broadcast via ray.put, corpus
+    # semi-joined + shingled inside map_batches — the text column never
+    # lands on the driver (round-1 verdict scale-killer #1)
+    out = exact_jaccard_for_pairs(docs, cand[["id_a", "id_b"]], "text", "doc_id",
+                                  shingle_k=5)
+    return out[["id_a", "id_b", "jaccard"]]
 
 
 def _q_join_revenue_by_segment(sf_dir: str):

@@ -139,7 +139,15 @@ def minhash_near_dup_pairs(
                                  "id_b": pd.Series(dtype=idt),
                                  "est_jaccard": pd.Series(dtype="float64")})
         if n * (n - 1) // 2 > max_bucket_pairs:
-            group = group.iloc[: int((2 * max_bucket_pairs) ** 0.5) + 1]
+            # no silent caps: truncation of a pathological bucket
+            # (mass-duplicate docs) is logged with the dropped count
+            import logging
+            kept = int((2 * max_bucket_pairs) ** 0.5) + 1
+            logging.getLogger("osf_data_validator_tool_ray.dedup").warning(
+                "minhash_near_dup_pairs: bucket of %d docs truncated to %d "
+                "(%d candidate pairs dropped)", n, kept,
+                n * (n - 1) // 2 - kept * (kept - 1) // 2)
+            group = group.iloc[:kept]
             n = len(group)
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in group["sig"]])
         ids = group["doc_id"].to_numpy()
@@ -208,42 +216,202 @@ def near_dup_clusters(
             pa.table({"doc_id": pa.array([], type=pa.int64()),
                       "cluster_id": pa.array([], type=pa.int64())}))
 
-    # distributed min-label propagation
+    # distributed min-label propagation.  Per round: ONE tagged-union
+    # hash exchange (edge rows keyed by their neighbor endpoint, label
+    # rows keyed by node) + ONE groupby-min.  The label table is
+    # exchanged as ordinary blocks, never re-materialized per batch, so
+    # a round is O(|edges|/cluster) regardless of label-table size.
+    # (Ray's native Dataset.join is avoided here: its hash-shuffle
+    # aggregator builds a schemaless empty table for partitions that
+    # receive zero right-side blocks and crashes pyarrow's join — easy
+    # to hit with a small label table.)  Convergence is detected from a
+    # changed-label count carried through the same aggregate — the
+    # driver never pulls the label table.
     from ray.data.aggregate import Min as _Min
 
+    _s = mat.schema()
+    id_type = dict(zip(_s.names, _s.types))[id_a]
+    if not isinstance(id_type, pa.DataType):
+        try:
+            id_type = pa.from_numpy_dtype(id_type)
+        except pa.ArrowNotImplementedError:
+            id_type = pa.string()
+
     def explode(t: pa.Table) -> pa.Table:
-        a = t.column(id_a)
-        b = t.column(id_b)
+        a = t.column(id_a).cast(id_type)
+        b = t.column(id_b).cast(id_type)
         return pa.table({"node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                         "label": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+                         "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
 
     edges = mat.map_batches(explode, batch_format="pyarrow", batch_size=None).materialize()
-    labels = edges.groupby("node").aggregate(_Min("label", alias_name="label")) \
+    labels = edges.groupby("node").aggregate(_Min("nbr", alias_name="label")) \
         .map_batches(lambda t: pa.table({
             "node": t.column("node"),
             "label": pa.compute.min_element_wise(t.column("node"), t.column("label"))}),
             batch_format="pyarrow").materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("nbr"), "node": t.column("node"),
+                         "label": pa.nulls(t.num_rows, type=id_type)})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"),
+                         "node": pa.nulls(t.num_rows, type=id_type),
+                         "label": t.column("label").cast(id_type)})
+
+    def prop(g: pd.DataFrame) -> pd.DataFrame:
+        # one label row per key (its current label) + the edges whose
+        # neighbor is this key: push the label to each edge's node, and
+        # keep the key's own label
+        lbls = g["label"].dropna()
+        lbl = lbls.min() if len(lbls) else g["key"].iloc[0]
+        nodes = g.loc[g["node"].notna(), "node"].tolist()
+        nodes.append(g["key"].iloc[0])
+        return pd.DataFrame({"node": nodes, "label": [lbl] * len(nodes)})
+
+    def _checksum(lbl_ds: "ray.data.Dataset") -> int:
+        """Order-independent fingerprint of the (node, label) map: XOR of
+        per-row hashes, reduced per block — the driver pulls one uint64
+        per block, never the table.  Used only for fixed-point early
+        exit; a (astronomically unlikely) collision merely costs/saves a
+        round within the max_rounds bound."""
+        def part(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(t.to_pandas(), index=False).to_numpy()
+            x = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+            return pa.table({"h": pa.array([x & 0xFFFFFFFFFFFFFFFF],
+                                           type=pa.uint64())})
+        acc = 0
+        for b in lbl_ds.map_batches(part, batch_format="pyarrow",
+                                    batch_size=None).iter_batches(
+                                        batch_format="pyarrow"):
+            for v in b.column("h").to_pylist():
+                acc ^= v
+        return acc
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None).materialize()
+    prev_sum = _checksum(labels)
     for _ in range(max_rounds):
-        # propagate: node's label = min(own label, neighbors' labels)
-        lbl = {"M": labels}
-
-        def join_neighbor_labels(t: pa.Table) -> pa.Table:
-            ldf = lbl["M"].to_pandas().set_index("node")["label"]
-            df = t.to_pandas()
-            df["label"] = df["label"].map(ldf).fillna(df["label"])
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-        cand = edges.map_batches(join_neighbor_labels, batch_format="pyarrow",
-                                 batch_size=None)
-        new_labels = cand.union(labels).groupby("node").aggregate(
-            _Min("label", alias_name="label")).materialize()
-        old = labels.to_pandas().set_index("node")["label"]
-        new = new_labels.to_pandas().set_index("node")["label"]
+        tagged = tagged_edges.union(labels.map_batches(
+            tag_labels, batch_format="pyarrow", batch_size=None))
+        cand = tagged.groupby("key").map_groups(prop, batch_format="pandas")
+        new_labels = cand.groupby("node").aggregate(
+            _Min("label", alias_name="label")).map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(id_type),
+                                "label": t.column("label").cast(id_type)}),
+            batch_format="pyarrow", batch_size=None).materialize()
         labels = new_labels
-        if old.equals(new.reindex(old.index)):
+        new_sum = _checksum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow")
+
+
+def exact_jaccard_for_pairs(
+    ds: "ray.data.Dataset",
+    pairs: "pd.DataFrame",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+) -> "pd.DataFrame":
+    """Exact character-k-gram Jaccard for candidate pairs, computed
+    DISTRIBUTED (the MAX-102-style "verify what the candidate generator
+    matched" step for near-dup dedup):
+
+      1. broadcast the candidate-id set once via ray.put (read per
+         worker process from the object store, not re-shipped per batch)
+      2. semi-join filter the corpus inside map_batches; shingle only
+         surviving docs (the full text column never reaches the driver)
+      3. route each doc's shingle set to its pairs with a tagged-union
+         groupby on doc id, then compute Jaccard per pair with a second
+         small groupby on pair id
+
+    ``pairs`` (id_a, id_b, ...) is the candidate list — tiny relative to
+    the corpus (near-dup rate bounds it), so it lives on the driver.
+    Returns pairs + an exact ``jaccard`` column.
+    """
+    import ray as _ray
+
+    if len(pairs) == 0:
+        out = pairs.copy()
+        out["jaccard"] = pd.Series(dtype="float64")
+        return out
+    ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    ids_ref = _ray.put(ids)
+
+    sh_type = pa.list_(pa.uint64())
+
+    def shingle_stage(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(ids_ref)          # plasma-cached per worker
+        idvals = t.column(id_col).to_pandas()
+        m = idvals.isin(wanted).to_numpy(dtype=bool)
+        if not m.any():
+            return pa.table({"key": pa.array([], type=t.schema.field(id_col).type),
+                             "pair_id": pa.array([], type=pa.int64()),
+                             "role": pa.array([], type=pa.int8()),
+                             "sh": pa.array([], type=sh_type)})
+        sub = t.filter(pa.array(m))
+        sh = [T.char_shingle_hashes(x, shingle_k).tolist()
+              for x in sub.column(text_col).to_pylist()]
+        n = sub.num_rows
+        return pa.table({"key": sub.column(id_col),
+                         "pair_id": pa.nulls(n, type=pa.int64()),
+                         "role": pa.nulls(n, type=pa.int8()),
+                         "sh": pa.array(sh, type=sh_type)})
+
+    shingles = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_stage, batch_format="pyarrow", batch_size=None)
+
+    key_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == id_col:
+            key_type = typ if isinstance(typ, pa.DataType) else None
+    pair_rows = pd.DataFrame({
+        "key": pd.concat([pairs["id_a"], pairs["id_b"]], ignore_index=True),
+        "pair_id": np.concatenate([np.arange(len(pairs), dtype=np.int64)] * 2),
+        "role": np.concatenate([np.zeros(len(pairs), dtype=np.int8),
+                                np.ones(len(pairs), dtype=np.int8)]),
+    })
+    pr = pa.Table.from_pandas(pair_rows, preserve_index=False)
+    if key_type is not None:
+        pr = pr.set_column(0, "key", pr.column("key").cast(key_type))
+    pr = pr.append_column("sh", pa.nulls(pr.num_rows, type=sh_type))
+    pair_ds = ray.data.from_arrow(pr.replace_schema_metadata(None))
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        # one shingle row per key + its pair slots
+        sh_rows = g[g["sh"].notna()]
+        slots = g[g["pair_id"].notna()]
+        if sh_rows.empty or slots.empty:
+            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
+                                 "role": pd.Series(dtype="int8"),
+                                 "sh": pd.Series(dtype="object")})
+        sh = sh_rows["sh"].iloc[0]
+        return pd.DataFrame({"pair_id": slots["pair_id"].astype("int64"),
+                             "role": slots["role"].astype("int8"),
+                             "sh": [sh] * len(slots)})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        a, b = g["sh"].iloc[0], g["sh"].iloc[1]
+        j = T.exact_jaccard(np.asarray(a, dtype=np.uint64),
+                            np.asarray(b, dtype=np.uint64))
+        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
+                             "jaccard": [j]})
+
+    routed = shingles.union(pair_ds).groupby("key").map_groups(
+        route, batch_format="pandas")
+    scored = routed.groupby("pair_id").map_groups(
+        score, batch_format="pandas").to_pandas()
+
+    out = pairs.reset_index(drop=True).copy()
+    out["pair_id"] = np.arange(len(out), dtype=np.int64)
+    out = out.merge(scored, on="pair_id", how="left").drop(columns=["pair_id"])
+    return out
 
 
 class _SimHashStage:

@@ -122,13 +122,20 @@ def broadcast_membership_filter(
 
     class Probe:
         def __init__(self):
-            self.keys = ray.get(key_set_ref)
+            # once per actor: resolve the broadcast and pre-build the
+            # Arrow value_set for vectorized pc.is_in probes
+            keys = ray.get(key_set_ref)
+            self.key_arr = pa.array(list(keys)) if keys else None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = pd.unique(batch.column(ref_column).to_pandas().dropna())
-            miss = [v for v in vals if v not in self.keys]
-            return pa.table({"key": pa.array(
-                miss, type=batch.schema.field(ref_column).type)})
+            vals = pa.array(pd.unique(batch.column(ref_column).to_pandas().dropna()),
+                            type=batch.schema.field(ref_column).type)
+            if self.key_arr is None:
+                return pa.table({"key": vals})
+            import pyarrow.compute as pc
+            present = pc.is_in(vals, value_set=self.key_arr.cast(vals.type))
+            return pa.table({"key": vals.filter(pc.invert(present))})
 
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
     return refs.select_columns([ref_column]).map_batches(
-        Probe, batch_format="pyarrow", concurrency=(1, 4))
+        Probe, batch_format="pyarrow", concurrency=(1, cpus))

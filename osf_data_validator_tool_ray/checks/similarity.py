@@ -21,6 +21,13 @@ import ray
 import ray.data
 
 
+def _cluster_cpus() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:       # not initialized yet
+        return 8
+
+
 def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     arr = batch.column(emb_col)
     if isinstance(arr, pa.ChunkedArray):
@@ -84,7 +91,10 @@ def ann_topk_bruteforce(
     partials = ds.select_columns([emb_col, id_col]).map_batches(
         _TopKStage, batch_format="pyarrow",
         fn_constructor_args=(emb_col, id_col, query_ref, k),
-        concurrency=(1, 4),   # autoscaling floor of 1: never starves the read stage
+        # autoscaling floor of 1 never starves the read stage; the
+        # ceiling tracks cluster CPUs so a 32-core node (or a fleet)
+        # isn't capped at a fixed 4 workers
+        concurrency=(1, _cluster_cpus()),
     )
     df = partials.to_pandas()
     out = (
@@ -142,7 +152,7 @@ def ann_topk_lsh(
             return batch.filter(pa.array(mask))
 
     candidates = ds.select_columns([emb_col, id_col]).map_batches(
-        Filter, batch_format="pyarrow", concurrency=(1, 4))
+        Filter, batch_format="pyarrow", concurrency=(1, _cluster_cpus()))
     return ann_topk_bruteforce(candidates, emb_col, id_col, queries, k)
 
 
@@ -158,14 +168,17 @@ def embedding_near_dup_pairs(
     """Pairs with cosine >= tau, found within SRP-LSH buckets (high-cosine
     pairs land in the same bucket with prob (1-theta/pi)^n_planes).
     Exact within-bucket verification via matmul."""
-    rng = np.random.default_rng(seed)
-    planes_ref = None  # created lazily with the right dim
+    planes_cache: dict[int, np.ndarray] = {}   # per-task: dim -> planes
 
     def assign(batch: pa.Table) -> pa.Table:
-        nonlocal planes_ref
         m = _normalize(_batch_matrix(batch, emb_col))
-        planes = np.random.default_rng(seed).standard_normal(
-            (n_planes, m.shape[1])).astype(np.float32)
+        planes = planes_cache.get(m.shape[1])
+        if planes is None:
+            # deterministic per (seed, dim) — every task derives the SAME
+            # hyperplanes, computed once per task, not per batch
+            planes = np.random.default_rng(seed).standard_normal(
+                (n_planes, m.shape[1])).astype(np.float32)
+            planes_cache[m.shape[1]] = planes
         buckets = srp_bucket_bits(m, planes)
         return pa.table({
             "bucket": pa.array(buckets, type=pa.uint32()),
@@ -181,6 +194,14 @@ def embedding_near_dup_pairs(
                                  "id_b": pd.Series(dtype=idt),
                                  "cosine": pd.Series(dtype="float64")})
         if n > max_bucket:
+            # no silent caps: a pathological bucket (mass-duplicate
+            # embeddings) is truncated LOUDLY so dropped pairs are known
+            import logging
+            logging.getLogger("osf_data_validator_tool_ray.similarity").warning(
+                "embedding_near_dup_pairs: bucket of %d rows truncated to "
+                "max_bucket=%d (%d candidate pairs dropped)",
+                n, max_bucket,
+                n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2)
             group = group.iloc[:max_bucket]
             n = max_bucket
         m = _normalize(np.stack(group[emb_col].to_numpy()).astype(np.float32))

@@ -70,9 +70,15 @@ def unified_keyed_violations(
     expected_keys: Optional["ray.data.Dataset"] = None,
     expected_key_column: str = "key",
     include_existentials_from_meta: bool = False,
+    skip_ext_columns: tuple = (),
 ) -> Optional["ray.data.Dataset"]:
     """Plan the single-exchange keyed pass.  ``ext_partials`` is the
-    (key, _ext_n) dataset from stages.decode_stage.bytes_suite_pass."""
+    (key, _ext_n) dataset from stages.decode_stage.bytes_suite_pass.
+
+    ``skip_ext_columns``: existentials whose predicate reads one of these
+    columns are excluded from the metadata partials (decode mode hands
+    those to the fused bytes scan); metadata-only existentials remain
+    enforced here."""
     from .predicates import PREDICATE_COLUMNS
 
     key = spec.key_column
@@ -85,7 +91,8 @@ def unified_keyed_violations(
         and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= have)
     ]
     meta_exts = ([e for e in spec.existentials
-                  if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have]
+                  if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have
+                  and not (PREDICATE_COLUMNS[e.predicate] & set(skip_ext_columns))]
                  if include_existentials_from_meta else [])
     ext_predicates = ext_predicates or []
 

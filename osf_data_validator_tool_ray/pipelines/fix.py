@@ -11,16 +11,27 @@ every removed row is preserved, auditable, re-ingestable after repair)
 and the cleaned remainder is written as the fixed dataset.  Both writes
 are partitioned parquet.
 
+ONE streaming pass: each task splits its batch with a vectorized
+``pc.is_in`` and writes both sides itself (uuid-named parquet parts), so
+the table is scanned once and counts come back as the pass's tiny output
+— no second scan, no re-read of the sinks.
+
 Scale: the violating-key set is broadcast via ray.put (read once per
-task from the object store).  When the violation set itself is huge,
-pass a BloomFilter built from it instead (bloom=True): definite-clean
-rows skip the exact set; only bloom-positives consult it.
+worker from the object store).  With ``bloom=True`` a Bloom filter of
+the keys is broadcast alongside: bloom-negative rows are definitely
+clean and skip the exact membership probe; only the ~fpp fraction of
+bloom-positives consult the exact set (useful when the violation set is
+huge and the exact probe dominates).
 """
 
 from __future__ import annotations
 
+import glob
+import os
+import uuid
 from typing import Iterable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,28 +45,73 @@ def quarantine(
     key_column: str,
     clean_dir: str,
     quarantine_dir: str,
+    bloom: bool = False,
+    bloom_bits: int = 1 << 22,
 ) -> dict:
     """Split ``ds`` on membership of ``key_column`` in ``violating_keys``;
-    write both sides; return counts."""
-    key_ref = ray.put(frozenset(violating_keys))
+    write both sides in one pass; return counts."""
+    from ..functions.sketches import BloomFilter
 
-    class Split:
-        def __init__(self, keep_violating: bool):
-            self.keys = ray.get(key_ref)
-            self.keep_violating = keep_violating
+    keys = list(violating_keys)
+    key_ref = ray.put(frozenset(keys))
+    bloom_ref = None
+    if bloom and keys:
+        bf = BloomFilter(n_bits=bloom_bits)
+        bf.update(np.asarray(keys))
+        bloom_ref = ray.put(bf.to_bytes())
+    os.makedirs(clean_dir, exist_ok=True)
+    os.makedirs(quarantine_dir, exist_ok=True)
+
+    class SplitWriter:
+        """Splitter state (exact key array + optional Bloom) is built
+        once at construction; the serialized instance ships to workers
+        once via the object store, never per batch."""
+
+        def __init__(self):
+            key_set = ray.get(key_ref)
+            self.key_arr = pa.array(list(key_set)) if key_set else None
+            self.bloom = (BloomFilter.from_bytes(ray.get(bloom_ref))
+                          if bloom_ref is not None else None)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(key_column).to_pylist()
-            mask = pa.array([v in self.keys for v in vals])
-            return batch.filter(mask if self.keep_violating else pc.invert(mask))
+            col = batch.column(key_column)
+            if self.key_arr is None:
+                bad_mask = np.zeros(batch.num_rows, dtype=bool)
+            elif self.bloom is not None:
+                # definite-miss rows skip the exact probe entirely
+                vals = col.to_numpy(zero_copy_only=False)
+                maybe = self.bloom.contains(vals)
+                bad_mask = np.zeros(batch.num_rows, dtype=bool)
+                if maybe.any():
+                    sub = col.filter(pa.array(maybe))
+                    exact = pc.is_in(sub, value_set=self.key_arr) \
+                        .to_numpy(zero_copy_only=False)
+                    bad_mask[np.flatnonzero(maybe)] = exact
+            else:
+                bad_mask = pc.is_in(col, value_set=self.key_arr) \
+                    .to_numpy(zero_copy_only=False)
+            mask = pa.array(bad_mask)
+            bad = batch.filter(mask)
+            clean = batch.filter(pc.invert(mask))
+            part = uuid.uuid4().hex
+            if clean.num_rows:
+                import pyarrow.parquet as pq
+                pq.write_table(clean, os.path.join(clean_dir, f"part-{part}.parquet"))
+            if bad.num_rows:
+                import pyarrow.parquet as pq
+                pq.write_table(bad, os.path.join(quarantine_dir, f"part-{part}.parquet"))
+            return pa.table({"n_clean": pa.array([clean.num_rows], type=pa.int64()),
+                             "n_quarantined": pa.array([bad.num_rows], type=pa.int64())})
 
-    clean = ds.map_batches(Split, batch_format="pyarrow",
-                           fn_constructor_args=(False,), concurrency=(1, 4))
-    bad = ds.map_batches(Split, batch_format="pyarrow",
-                         fn_constructor_args=(True,), concurrency=(1, 4))
-    clean.write_parquet(clean_dir)
-    bad.write_parquet(quarantine_dir)
-    n_bad = ray.data.read_parquet(quarantine_dir).count()
-    n_clean = ray.data.read_parquet(clean_dir).count()
-    return {"n_clean": n_clean, "n_quarantined": n_bad,
+    counts = ds.map_batches(SplitWriter(), batch_format="pyarrow").to_pandas()
+    return {"n_clean": int(counts["n_clean"].sum()),
+            "n_quarantined": int(counts["n_quarantined"].sum()),
             "clean_dir": clean_dir, "quarantine_dir": quarantine_dir}
+
+
+def quarantine_counts_from_footers(out_dir: str) -> int:
+    """Row count of a written sink from parquet footers only (no scan)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(out_dir, "*.parquet")))

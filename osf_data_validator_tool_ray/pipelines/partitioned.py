@@ -11,12 +11,26 @@ Per incomplete partition (skipped when its checkpoint record is done):
      global merge never needs the raw rows again)
   4. metrics + lineage record -> checkpoint store (atomic)
 
+Reads are branch-pruned AT THE SCAN: the metadata branches read only the
+columns they touch (read_parquet(columns=...)), so the wide `bytes`
+column is never decompressed unless the decode branch runs — a later
+select_columns is NOT pushed into the parquet scan by Ray's optimizer.
+
+Partitions are driven ``max_inflight`` at a time (each partition's
+pipeline is itself parallel over its blocks); bounded overlap keeps a
+fleet from serializing on partition boundaries while the checkpoint
+store's atomic per-partition records keep resume semantics unchanged.
+
 Final merge (cheap, always re-run):
   * read all partitions' partials -> ONE groupby(key) -> grouped
     violations (cardinality/existential constraints hold GLOBALLY across
     partitions — duplicate clip_ids in different partitions are caught
     here, which a purely per-partition design would miss)
   * union with stored per-partition violations -> verdicts + report
+
+Pass/fail is decided by ERROR-severity violations only; warnings are
+counted separately (mirrors SuiteResult.report and the reference's
+-5x warning / -10x error id split).
 
 This mirrors the reference's accumulate-then-report lifecycle (dvt:167,
 174-191) with crash-resume added (the reference restarts from scratch —
@@ -29,6 +43,7 @@ import glob
 import os
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import pyarrow as pa
@@ -37,13 +52,38 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..checks.cardinality import _PartialAggregator
+from ..checks.predicates import PREDICATE_COLUMNS
+from ..sources.io import _cache_fsspec_http_import
 from ..spec import ConstraintSpec
 from ..stages.facet_stage import StatelessValidator, stateless_columns
 from ..state.checkpoint import CheckpointStore
 
+# concurrent partition threads issue Ray IO in parallel; make the
+# path-resolver's per-call fsspec import race-free first
+_cache_fsspec_http_import()
+
+_BYTES_COLS = ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
+
 
 def _partition_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
+
+
+def _severity_counts(files: list[str]) -> tuple[int, int]:
+    """(n_errors, n_warnings) from artifact files, reading ONLY the
+    severity column (cheap dictionary-encoded scan, no payload)."""
+    import pyarrow.parquet as pq
+
+    n_err = n_warn = 0
+    for f in files:
+        col = pq.read_table(f, columns=["severity"]).column("severity")
+        counts = col.value_counts().to_pylist()
+        for e in counts:
+            if e["values"] == "error":
+                n_err += e["counts"]
+            elif e["values"] == "warning":
+                n_warn += e["counts"]
+    return n_err, n_warn
 
 
 def validate_partitioned(
@@ -53,47 +93,82 @@ def validate_partitioned(
     decode: bool = False,
     batch_size: Optional[int] = None,
     refs: Optional[dict[str, "ray.data.Dataset"]] = None,
+    max_inflight: int = 2,
 ) -> dict:
     """Run/resume the partitioned validation; returns the merged report.
 
-    Partitions are driven sequentially (each partition's pipeline is
-    itself parallel over its blocks); resume granularity = partition.
+    ``max_inflight`` partitions run concurrently (bounded); resume
+    granularity stays one partition (atomic checkpoint records).
     """
+    import pyarrow.parquet as pq
+
     files = sorted(glob.glob(input_glob))
     if not files:
         raise FileNotFoundError(f"no input files match {input_glob}")
     done = store.completed()
 
+    # constraint lists are filtered against the FIRST file's schema (all
+    # partitions of one table share it) so the partials' positional
+    # ext{j}_n / card{i}_n columns stay consistent across partitions
+    names0 = set(pq.read_schema(files[0]).names)
     key = spec.key_column
-    cards = [c for c in spec.cardinalities if c.key == key]
-    exts = [e for e in spec.existentials if e.key == key]
+    cards = [c for c in spec.cardinalities
+             if c.key == key and c.column in names0
+             and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= names0)]
+    exts = [e for e in spec.existentials
+            if e.key == key and PREDICATE_COLUMNS[e.predicate] <= names0]
+    # decode mode: bytes-derived existentials come from the decode scan's
+    # stored ext_partials; metadata-only ones stay in the keyed partials.
+    # NOTE: one store assumes one decode setting across its lifetime (the
+    # partials' ext{j}_n column indices are positional in this list).
+    meta_exts = ([e for e in exts if "bytes" not in PREDICATE_COLUMNS[e.predicate]]
+                 if decode else exts)
+    declared_universals = {u.predicate for u in spec.universals}
 
-    n_skipped = n_ran = 0
-    for path in files:
+    def run_partition(path: str) -> None:
         pid = _partition_id(path)
-        if pid in done:
-            n_skipped += 1
-            continue
         t0 = time.time()
-        ds = ray.data.read_parquet(path)
+        file_meta = pq.ParquetFile(path)
+        names = set(file_meta.schema_arrow.names)
+        n_rows = file_meta.metadata.num_rows       # from footer, no scan
+        have_bytes = decode and "bytes" in names
 
         tmp_base = os.path.join(store.root, f"_tmp_{pid}_{uuid.uuid4().hex[:6]}")
 
+        # ---- branch-pruned reads ---------------------------------------
+        skip = ("bytes",) if have_bytes else ()
+        sl_cols = [c for c in stateless_columns(spec, skip_columns=skip,
+                                                include_universals=True)
+                   if c in names]
+        # columns the grouped-constraint partials need
+        part_cols = set()
+        if key:
+            part_cols.add(key)
+        for c in cards:
+            part_cols.add(c.column)
+            if c.qualifier:
+                part_cols |= PREDICATE_COLUMNS[c.qualifier]
+        for e in meta_exts:
+            part_cols |= PREDICATE_COLUMNS[e.predicate]
+        # note: `bytes` remains in part_cols only if a cardinality
+        # qualifier genuinely reads it — meta_exts never does in decode mode
+        meta_cols = sorted((set(sl_cols) | part_cols) & names)
+
+        meta_ds = ray.data.read_parquet(path, columns=meta_cols)
+
         # decode=True: the fused pass is the ONE scan of the bytes column
-        # (stateless drops its bytes-sniffing universals; the decodable
-        # existential comes from the stored ext partials)
-        have_bytes = decode and "bytes" in ds.schema().names
-        cols = [c for c in stateless_columns(
-            spec, skip_columns=("bytes",) if have_bytes else (),
-            include_universals=not have_bytes) if c in ds.schema().names]
-        viol = ds.select_columns(cols).map_batches(
-            StatelessValidator(spec, skip_columns=("bytes",) if have_bytes else (),
-                               include_universals=not have_bytes),
+        # (stateless drops its bytes-derived universals; the bytes
+        # existentials come from the stored ext partials)
+        viol = meta_ds.select_columns(sl_cols).map_batches(
+            StatelessValidator(spec, skip_columns=skip, include_universals=True),
             batch_format="pyarrow",
             **({"batch_size": batch_size} if batch_size else {}))
         if have_bytes:
             from ..stages.decode_stage import bytes_suite_pass
-            bytes_v, ext_p = bytes_suite_pass(ds)
+            bytes_cols = [c for c in _BYTES_COLS if c in names]
+            bytes_ds = ray.data.read_parquet(path, columns=bytes_cols)
+            bytes_v, ext_p = bytes_suite_pass(
+                bytes_ds, universal_predicates=declared_universals)
             viol = viol.union(bytes_v)
             e_tmp = tmp_base + "_extpartials"
             ext_p.write_parquet(e_tmp)
@@ -102,20 +177,18 @@ def validate_partitioned(
         viol.write_parquet(v_tmp)
         vdir = store.publish_artifact(pid, "violations", v_tmp)
 
-        # per-partition verdict from the written artifact's parquet
-        # metadata (no recompute)
-        import pyarrow.parquet as pq
-        n_viol = sum(pq.ParquetFile(f).metadata.num_rows
-                     for f in glob.glob(os.path.join(vdir, "*.parquet")))
-        n_rows = ds.count()
+        # per-partition verdict from the written artifact (severity-only
+        # column read, no recompute); errors fail, warnings don't
+        n_err, n_warn = _severity_counts(
+            sorted(glob.glob(os.path.join(vdir, "*.parquet"))))
         metrics = {"n_rows": n_rows, "lineage": path,
-                   "n_violations": n_viol, "pass": n_viol == 0}
+                   "n_violations": n_err, "n_warnings": n_warn,
+                   "pass": n_err == 0}
 
-        # grouped-constraint partials: metadata only when the fused decode
-        # pass already contributed the existential partials
-        part_exts = [] if have_bytes else exts
-        if key and (cards or part_exts) and key in ds.schema().names:
-            partials = ds.map_batches(
+        # grouped-constraint partials over the pruned metadata read
+        part_exts = meta_exts
+        if key and (cards or part_exts) and key in names:
+            partials = meta_ds.map_batches(
                 _PartialAggregator(key, cards, part_exts), batch_format="pyarrow",
                 **({"batch_size": batch_size} if batch_size else {}))
             p_tmp = tmp_base + "_partials"
@@ -124,7 +197,18 @@ def validate_partitioned(
 
         metrics["runtime_s"] = time.time() - t0
         store.record(pid, metrics)
-        n_ran += 1
+
+    todo = [p for p in files if _partition_id(p) not in done]
+    n_skipped = len(files) - len(todo)
+    if todo:
+        if max_inflight > 1 and len(todo) > 1:
+            with ThreadPoolExecutor(max_workers=max_inflight) as ex:
+                # list() re-raises the first partition failure
+                list(ex.map(run_partition, todo))
+        else:
+            for path in todo:
+                run_partition(path)
+    n_ran = len(todo)
 
     # ---- global merge (always re-run; reads only stored artifacts) -------
     report: dict = {"partitions_total": len(files), "partitions_skipped": n_skipped,
@@ -140,12 +224,15 @@ def validate_partitioned(
     all_viol = ray.data.read_parquet(viol_files) if viol_files else None
 
     partial_files = _files(store.artifact_dirs("partials"))
+    ext_files = _files(store.artifact_dirs("ext_partials"))
+    # the ext list the stored partials were written with: positional
+    # ext{j}_n columns — decode runs store bytes existentials separately
+    part_exts_used = meta_exts if ext_files else exts
     if partial_files and key and (cards or exts):
         partials = ray.data.read_parquet(partial_files)
-        # sum only the columns these partials carry: decode-fused runs
-        # store existential partials separately (ext_partials artifacts)
         have_cols = set(partials.schema().names)
-        merge_exts = [e for j, e in enumerate(exts) if f"ext{j}_n" in have_cols]
+        merge_exts = [e for j, e in enumerate(part_exts_used)
+                      if f"ext{j}_n" in have_cols]
         sums = [Sum(f"card{i}_n", alias_name=f"card{i}_n")
                 for i in range(len(cards)) if f"card{i}_n" in have_cols]
         sums += [Sum(f"ext{j}_n", alias_name=f"ext{j}_n")
@@ -156,7 +243,6 @@ def validate_partitioned(
         grouped = merged.map_batches(emitter, batch_format="pyarrow")
         all_viol = grouped if all_viol is None else all_viol.union(grouped)
 
-    ext_files = _files(store.artifact_dirs("ext_partials"))
     if ext_files:
         from ..stages.decode_stage import existential_violations_from_partials
         ev = existential_violations_from_partials(ray.data.read_parquet(ext_files))
@@ -176,16 +262,21 @@ def validate_partitioned(
                 all_viol = rv if all_viol is None else all_viol.union(rv)
 
     if all_viol is not None:
-        counts = all_viol.groupby("check_id").count().to_pandas()
+        counts = all_viol.groupby(["check_id", "severity"]).count().to_pandas()
         counts = counts.rename(columns={"count()": "n"})
-        report["violations"] = {r["check_id"]: int(r["n"]) for _, r in counts.iterrows()}
+        err = counts[counts.severity == "error"]
+        warn = counts[counts.severity == "warning"]
+        report["violations"] = {r["check_id"]: int(r["n"]) for _, r in err.iterrows()}
+        report["warnings"] = {r["check_id"]: int(r["n"]) for _, r in warn.iterrows()}
     else:
         report["violations"] = {}
+        report["warnings"] = {}
     recs = store.records()
     report["n_rows"] = sum(r.get("n_rows", 0) for r in recs)
     report["partitions"] = {
         r["partition_id"]: {"pass": r.get("pass", True),
                             "n_violations": r.get("n_violations", 0),
+                            "n_warnings": r.get("n_warnings", 0),
                             "n_rows": r.get("n_rows", 0),
                             "lineage": r.get("lineage")}
         for r in recs

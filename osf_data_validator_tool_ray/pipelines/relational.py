@@ -253,19 +253,47 @@ def hash_join(
     if hasattr(ray.data.Dataset, "join"):
         return left.join(right, join_type=how, num_partitions=n, on=(key,))
 
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    # right-side columns carried through the join: keep the key (merge
+    # needs it on both sides), drop non-key columns duplicated on the left
+    r_keep = [c for c in rschema.names if c == key or c not in lcols]
 
-    def tag(side):
+    def _pa_type(typ) -> pa.DataType:
+        # pandas-block schemas report numpy dtypes, not Arrow types
+        if isinstance(typ, pa.DataType):
+            return typ
+        try:
+            return pa.from_numpy_dtype(typ)
+        except pa.ArrowNotImplementedError:
+            return pa.string()      # numpy object dtype (strings)
+
+    # both sides must share ONE schema for the union: pad each with
+    # typed null columns for the other side's fields
+    types: dict[str, pa.DataType] = {"_side": pa.string()}
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in r_keep:
+            types[name] = _pa_type(typ)
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = _pa_type(typ)
+    all_cols = sorted(set(lcols) | set(r_keep) | {"_side"})
+
+    def tag_and_pad(side):
         def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("_side", pa.array([side] * t.num_rows))
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t.select(all_cols)
         return fn
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         gl = g[g["_side"] == "l"][lcols]
-        gr = g[g["_side"] == "r"][[c for c in rcols if c != key or key not in lcols]]
+        gr = g[g["_side"] == "r"][r_keep]
         return gl.merge(gr, on=key, how=how)
 
-    lp = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
-    rp = right.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+    lp = left.map_batches(tag_and_pad("l"), batch_format="pyarrow", batch_size=None)
+    rp = right.select_columns(r_keep).map_batches(
+        tag_and_pad("r"), batch_format="pyarrow", batch_size=None)
     return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")

@@ -114,13 +114,17 @@ def metadata_columns(spec: ConstraintSpec) -> list[str]:
     should build ``metadata_ds`` with read_parquet(columns=these) so the
     wide binary column is pruned AT THE READ (Ray's optimizer does not
     push a later select_columns into the parquet scan)."""
+    from ..checks.predicates import PREDICATE_COLUMNS
+
     cols = set(stateless_columns(spec, skip_columns=("bytes",),
-                                 include_universals=False))
+                                 include_universals=True))
     for c in spec.cardinalities:
         cols.add(c.column)
         if c.qualifier:
-            from ..checks.predicates import PREDICATE_COLUMNS
             cols |= PREDICATE_COLUMNS[c.qualifier]
+    for e in spec.existentials:
+        if "bytes" not in PREDICATE_COLUMNS[e.predicate]:
+            cols |= PREDICATE_COLUMNS[e.predicate]
     if spec.key_column:
         cols.add(spec.key_column)
     cols.discard("bytes")
@@ -162,12 +166,15 @@ def run_suite(
     parts: list["ray.data.Dataset"] = []
     meta_ds = metadata_ds if (metadata_ds is not None and decode) else ds
 
+    # decode mode skips bytes-derived universals here (the fused decode
+    # scan owns them) but keeps metadata-only universals enforced — the
+    # skip_columns filter inside StatelessValidator handles the split
     skip = ("bytes",) if decode else ()
     cols = [c for c in stateless_columns(spec, skip_columns=skip,
-                                         include_universals=not decode)
+                                         include_universals=True)
             if c in actual_schema.names]
     stateless = meta_ds.select_columns(cols).map_batches(
-        StatelessValidator(spec, skip_columns=skip, include_universals=not decode),
+        StatelessValidator(spec, skip_columns=skip, include_universals=True),
         batch_format="pyarrow",
         **({"batch_size": batch_size} if batch_size else {}),
     )
@@ -187,21 +194,25 @@ def run_suite(
             bytes_suite_pass, existential_violations_from_partials)
 
         box: dict = {}
+        declared_universals = {u.predicate for u in spec.universals}
 
         def _run_bytes():
             try:
                 box["v"], box["p"] = bytes_suite_pass(
-                    ds, concurrency=decode_concurrency, profile=decode_profile)
+                    ds, concurrency=decode_concurrency, profile=decode_profile,
+                    universal_predicates=declared_universals)
             except BaseException as e:      # noqa: BLE001 — rethrown below
                 box["err"] = e
 
         th = threading.Thread(target=_run_bytes, daemon=True)
         th.start()
 
+        # metadata-only existentials (e.g. over transcript) stay in the
+        # keyed pass; bytes-derived ones come from the decode partials
         keyed = unified_keyed_violations(
             meta_ds, spec, refs=refs,
             expected_keys=expected_keys, expected_key_column=expected_key_column,
-            include_existentials_from_meta=False,
+            include_existentials_from_meta=True, skip_ext_columns=("bytes",),
         )
         keyed_m = keyed.materialize() if keyed is not None else None
         stateless_m = stateless.materialize()

@@ -46,10 +46,14 @@ def tumbling_window(
     DuckDB's to_timestamp semantics)."""
 
     def add_window(t: pa.Table) -> pa.Table:
-        # normalize resolution first: pandas-sourced blocks carry [ns]
+        # normalize resolution first: pandas-sourced blocks carry [ns].
+        # floor division (numpy //), not pc.divide: int64 pc.divide
+        # truncates toward zero, which is off by one window for
+        # pre-1970 (negative-epoch) timestamps vs the floor() oracle.
         ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        win = pc.divide(ts, 1_000_000 * window_s)
-        return t.append_column("window_id", pc.cast(win, pa.int64()))
+        win = np.floor_divide(ts.to_numpy(zero_copy_only=False),
+                              np.int64(1_000_000) * window_s)
+        return t.append_column("window_id", pa.array(win, type=pa.int64()))
 
     windowed = ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
     aggs = [Count(alias_name="n")]

@@ -21,6 +21,48 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def _cache_fsspec_http_import() -> None:
+    """Work around a thread race in Ray's path resolver.
+
+    ray.data.datasource.path_util re-runs
+    `from fsspec.implementations.http import HTTPFileSystem` on EVERY
+    read/write call.  When aiohttp is absent the import fails each time
+    (a failed module import is never cached), and two driver threads
+    issuing IO concurrently (multi-partition overlap in
+    pipelines/partitioned.py) can observe each other's partially
+    initialized module — surfacing as `ImportError: cannot import name
+    'HTTPFileSystem'`, which path_util does not catch (it only handles
+    ModuleNotFoundError).  Importing the module successfully ONCE (with
+    empty placeholder modules for the absent aiohttp/yarl, which
+    fsspec's http module only touches at call time) caches it in
+    sys.modules, making all later imports race-free dict lookups.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    injected = []
+    for name in ("aiohttp", "yarl"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+                injected.append(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        for name in injected:       # stubs insufficient — undo
+            del sys.modules[name]
+
+
+_cache_fsspec_http_import()
+
+
 def read_table(
     path: str,
     columns: Optional[Sequence[str]] = None,

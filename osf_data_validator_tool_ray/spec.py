@@ -169,7 +169,10 @@ def spec_to_dict(spec: "ConstraintSpec") -> dict:
                "params": dict(spec.params)}
     if spec.expected_schema is not None:
         d["expected_schema"] = {f.name: str(f.type) for f in spec.expected_schema}
-    d["facets"] = {c: {k: v for k, v in f.__dict__.items() if v not in (None, False)}
+    # Identity (not equality) checks: 0 == False in Python, so an equality
+    # filter would silently drop zero-valued bounds (min_inclusive=0.0).
+    d["facets"] = {c: {k: v for k, v in f.__dict__.items()
+                       if v is not None and v is not False}
                    for c, f in spec.facets.items()}
     d["enums"] = [{"column": e.column, "allowed": sorted(e.allowed),
                    "parents": dict(e.parents)} for e in spec.enums]

@@ -215,6 +215,7 @@ def bytes_suite_pass(
     concurrency: "int | tuple[int, int]" = (1, 16),
     use_actors: bool = False,
     profile: str = "light",
+    universal_predicates: "set[str] | None" = None,
 ):
     """ONE actor-pool scan of the payload column that yields everything
     any check needs from `bytes`:
@@ -230,9 +231,17 @@ def bytes_suite_pass(
     output is tiny (no payloads), so it is materialized once and split —
     without the materialize, each downstream branch would re-execute the
     whole decode scan (Ray Data re-runs lineage per consumer).
+
+    ``universal_predicates``: the set of universal predicate ids the
+    caller's spec actually declares; ONLY-100 rows are emitted only for
+    declared predicates (None = emit both, legacy behavior).  Without
+    this, custom specs that never declare bytes_matches_codec /
+    frames_match_dur would see spurious ONLY-100 errors.
     """
     import pandas as pd
 
+    if universal_predicates is None:
+        universal_predicates = {"bytes_matches_codec", "frames_match_dur"}
     cols = [c for c in ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
             if c in ds.schema().names]
     sub = ds.select_columns(cols)
@@ -273,12 +282,14 @@ def bytes_suite_pass(
                     out.append(make_violations(DECODE_101, keys[m], "codec", pcodec[m],
                                                expected="header codec == codec column"))
                 # universal ONLY-100: every payload container matches codec
-                only_m = ~(ok & (pcodec == dec))
-                if only_m.any():
-                    out.append(make_violations(
-                        "ONLY-100", keys[only_m], "bytes_matches_codec",
-                        pcodec[only_m],
-                        expected="all rows satisfy bytes_matches_codec"))
+                # (only when the spec declares this universal)
+                if "bytes_matches_codec" in universal_predicates:
+                    only_m = ~(ok & (pcodec == dec))
+                    if only_m.any():
+                        out.append(make_violations(
+                            "ONLY-100", keys[only_m], "bytes_matches_codec",
+                            pcodec[only_m],
+                            expected="all rows satisfy bytes_matches_codec"))
             if "sr_hz" in batch.column_names:
                 sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
                 m = ok & (psr != sr)
@@ -294,9 +305,10 @@ def bytes_suite_pass(
                         out.append(make_violations(DECODE_101, keys[m], "dur_ms",
                                                    frames[m],
                                                    expected="frames ~= dur_ms*sr_hz/1000"))
-                        out.append(make_violations(
-                            "ONLY-100", keys[m], "frames_match_dur", frames[m],
-                            expected="all rows satisfy frames_match_dur"))
+                        if "frames_match_dur" in universal_predicates:
+                            out.append(make_violations(
+                                "ONLY-100", keys[m], "frames_match_dur", frames[m],
+                                expected="all rows satisfy frames_match_dur"))
             v = (pa.concat_tables(out).combine_chunks() if out
                  else empty_violations())
             # existential partial: decodable count per key in this batch

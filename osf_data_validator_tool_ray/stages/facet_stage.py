@@ -37,14 +37,18 @@ class StatelessValidator:
 
     def __init__(self, spec: ConstraintSpec, skip_columns: tuple = (),
                  include_universals: bool = True):
-        # skip_columns / include_universals=False: used by the decode-fused
-        # suite, where everything bytes-derived comes from the single
-        # decode scan (stages/decode_stage.bytes_suite_pass) instead
+        # skip_columns: used by the decode-fused suite, where everything
+        # bytes-derived comes from the single decode scan
+        # (stages/decode_stage.bytes_suite_pass) instead.  Universals whose
+        # predicate reads a skipped column are excluded HERE; universals
+        # over metadata-only predicates stay enforced even in decode mode.
         self.spec = spec
         self.key = spec.key_column
         self.skip_columns = set(skip_columns)
         self.enum_closures = [(e.column, e.closure()) for e in spec.enums]
-        self.universals = ([(u.predicate, PREDICATES[u.predicate]) for u in spec.universals]
+        self.universals = ([(u.predicate, PREDICATES[u.predicate])
+                            for u in spec.universals
+                            if not (PREDICATE_COLUMNS[u.predicate] & self.skip_columns)]
                            if include_universals else [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -55,11 +59,7 @@ class StatelessValidator:
         for column, facets in spec.facets.items():
             if column not in batch.column_names or column in self.skip_columns:
                 continue
-            col = batch.column(column)
-            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-                values = col.to_pandas()
-            else:
-                values = col.to_pandas()
+            values = batch.column(column).to_pandas()
             for facet_name, mask in facet_violations(values, facets).items():
                 v = mask_violations(
                     batch, mask, DATATYPE_FACET_101, self.key, column,
@@ -138,7 +138,8 @@ def stateless_columns(spec: ConstraintSpec, skip_columns: tuple = (),
     if include_universals:
         from ..checks.predicates import PREDICATE_COLUMNS as _PC
         for u in spec.universals:
-            cols |= _PC[u.predicate]
+            if not (_PC[u.predicate] & set(skip_columns)):
+                cols |= _PC[u.predicate]
     cols -= set(skip_columns)
     if spec.key_column:
         cols.add(spec.key_column)

@@ -44,3 +44,45 @@ def test_end_to_end_minhash_to_clusters():
     pairs = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5)
     clusters = near_dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
     assert clusters[100] == 3 and clusters[101] == 3
+
+
+def test_clusters_distributed_long_chain_converges():
+    """Chain graph: min-label needs multiple propagation rounds; forces
+    the distributed join path end-to-end."""
+    n = 14
+    pairs = _pairs([(i, i + 1) for i in range(n)])
+    out = near_dup_clusters(pairs, driver_threshold=0, max_rounds=30) \
+        .to_pandas().set_index("doc_id")["cluster_id"]
+    assert all(out[i] == 0 for i in range(n + 1))
+
+
+def test_clusters_distributed_matches_union_find_on_random_graph():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    while len(edges) < 60:
+        a, b = sorted(rng.integers(0, 40, size=2).tolist())
+        if a != b:
+            edges.add((a, b))
+    pairs_list = sorted(edges)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    want = {n: find(n) for n in parent}
+
+    got = near_dup_clusters(_pairs(pairs_list), driver_threshold=0,
+                            max_rounds=30).to_pandas() \
+        .set_index("doc_id")["cluster_id"].to_dict()
+    assert got == want

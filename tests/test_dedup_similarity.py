@@ -89,3 +89,42 @@ def test_embedding_near_dup_pairs():
     pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.98).to_pandas()
     found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     assert (10, 50) in found
+
+
+def test_exact_jaccard_for_pairs_distributed_parity():
+    """Distributed pair verification == naive local shingle Jaccard."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.dedup import exact_jaccard_for_pairs
+    from osf_data_validator_tool_ray.functions import text as T
+
+    rng = np.random.default_rng(13)
+    texts = [" ".join(str(rng.integers(0, 300)) for _ in range(60))
+             for _ in range(25)]
+    texts[20] = texts[2]                       # exact dup
+    texts[21] = texts[3][:-15] + " small edit"  # near dup
+    ids = list(range(25))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})) \
+        .repartition(3)
+    pairs = pd.DataFrame({"id_a": [2, 3, 0], "id_b": [20, 21, 24]})
+    got = exact_jaccard_for_pairs(ds, pairs, "text", "doc_id", shingle_k=5)
+    for _, r in got.iterrows():
+        want = T.exact_jaccard(T.char_shingle_hashes(texts[int(r.id_a)], 5),
+                               T.char_shingle_hashes(texts[int(r.id_b)], 5))
+        assert abs(r.jaccard - want) < 1e-12
+    assert got.loc[got.id_a == 2, "jaccard"].iloc[0] == 1.0
+
+
+def test_exact_jaccard_for_pairs_empty():
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.dedup import exact_jaccard_for_pairs
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["abcdef"]}))
+    out = exact_jaccard_for_pairs(
+        ds, pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64")}), "text", "doc_id")
+    assert len(out) == 0 and "jaccard" in out.columns
