@@ -308,6 +308,23 @@ def _q_ann_topk(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_ann_topk_lsh(sf_dir: str):
+    """SRP-LSH approximate cosine top-5 (probe bucket + hamming-1).  No
+    SQL oracle (bucket membership isn't SQL-expressible); recall vs the
+    oracled brute-force result is gated in pytest
+    (tests/test_dedup_similarity.py::test_ann_lsh_recall_vs_bruteforce)."""
+    import pyarrow.parquet as pq
+    from osf_data_validator_tool_ray.checks.similarity import ann_topk_lsh
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qt.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = ann_topk_lsh(ds, "embedding", "vec_id", queries, k=5, n_planes=6)
+    df = top.to_pandas()
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Embedding near-dup pairs (SRP-LSH bucketed; no SQL oracle)."""
     from osf_data_validator_tool_ray.checks.similarity import embedding_near_dup_pairs
@@ -441,6 +458,30 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_restriction_lexical(sf_dir: str):
+    """Per-restriction lexical validation (CARD-MAX-102, the MAX-102
+    dataRange analog — CheckOwlRestrictionMax.php:535-549): values
+    counted by a qualified max-cardinality (English docs) must also pass
+    the declared facet set (length <= 450)."""
+    from osf_data_validator_tool_ray.spec import (
+        Cardinality, ConstraintSpec, Facets)
+    from osf_data_validator_tool_ray.stages.facet_stage import (
+        StatelessValidator, stateless_columns)
+    spec = ConstraintSpec(
+        table="documents", key_column="doc_id",
+        cardinalities=[Cardinality(
+            key="doc_id", column="text", max_count=1000, qualifier="lang_en",
+            value_facets=Facets(dtype="string", max_length=450))])
+    ds = _read(sf_dir, "documents", stateless_columns(spec))
+    v = ds.map_batches(StatelessValidator(spec), batch_format="pyarrow")
+    df = v.to_pandas()
+    out = df[df.check_id == "CARD-MAX-102"][["key", "observed"]]
+    if len(out) == 0:
+        return pd.DataFrame({"key": pd.Series(dtype="object"),
+                             "observed": pd.Series(dtype="object")})
+    return out.reset_index(drop=True)
+
+
 def _q_join_revenue_by_segment(sf_dir: str):
     """Hash join orders x customer on custkey, then revenue per market
     segment (float sums rounded to 2dp: fp ordering noise ~1e-7 is far
@@ -517,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,
@@ -529,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "restriction_lexical": _q_restriction_lexical,
     }
 
 
@@ -664,6 +707,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS total
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "restriction_lexical": """
+            SELECT CAST(doc_id AS VARCHAR) AS key, text AS observed
+            FROM documents
+            WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 450
         """,
         "ann_topk": """
             WITH q AS (

@@ -98,6 +98,26 @@ def bench_tpch_checks(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "result_rows": total_rows}
 
 
+def bench_partitioned(meta: dict) -> dict:
+    """Resumable partitioned mode over the same clips shards (fresh
+    checkpoint store, decode fused, branch-pruned reads, bounded
+    partition overlap)."""
+    import shutil
+    import tempfile
+
+    from osf_data_validator_tool_ray.pipelines.partitioned import validate_partitioned
+    from osf_data_validator_tool_ray.spec import clips_spec
+    from osf_data_validator_tool_ray.state.checkpoint import CheckpointStore
+
+    root = tempfile.mkdtemp(prefix="osfdvt_bench_part_")
+    t0 = time.time()
+    rep = validate_partitioned(meta["clips_dir"] + "/*.parquet", clips_spec(),
+                               CheckpointStore(root), decode=True, max_inflight=4)
+    dt = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "n_rows": rep["n_rows"]}
+
+
 def bench_dedup(sf_dir: str) -> dict:
     import ray.data
     from osf_data_validator_tool_ray.checks.dedup import (
@@ -188,6 +208,7 @@ def run_bench() -> dict:
     r = bench_clips_suite(meta)
     queries["clips_suite"] = round(r["sec"], 3)
     clips_per_sec = r["clips_per_sec"]
+    queries["partitioned"] = round(bench_partitioned(meta)["sec"], 3)
     queries["tpch_checks"] = round(bench_tpch_checks(sf_dir)["sec"], 3)
     queries["dedup"] = round(bench_dedup(sf_dir)["sec"], 3)
     queries["ann"] = round(bench_ann(sf_dir)["sec"], 3)

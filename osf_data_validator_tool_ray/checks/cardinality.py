@@ -107,10 +107,12 @@ def grouped_violations(
     cards = [
         c for c in spec.cardinalities
         if c.key == key and c.column in have
-        and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= have)
+        and (c.qualifier is None
+             or PREDICATE_COLUMNS.get(c.qualifier, {None}) <= have)
     ]
     exts = ([e for e in spec.existentials
-             if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have]
+             if e.key == key
+             and PREDICATE_COLUMNS.get(e.predicate, {None}) <= have]
             if include_existentials else [])
     if not cards and not exts:
         return None

@@ -71,11 +71,19 @@ def frames_match_dur(batch: pa.Table, tolerance: float = 0.02) -> np.ndarray:
     return out
 
 
+def lang_en(batch: pa.Table) -> np.ndarray:
+    """Example qualifier over the documents table: row's lang == 'en'
+    (the owl:onDataRange 'only count values of this type' analog)."""
+    return pc.equal(pc.coalesce(batch.column("lang"), ""), "en") \
+        .to_numpy(zero_copy_only=False)
+
+
 PREDICATES: dict[str, Callable[[pa.Table], np.ndarray]] = {
     "nonempty_transcript": nonempty_transcript,
     "decodable_bytes": decodable_bytes,
     "bytes_matches_codec": bytes_matches_codec,
     "frames_match_dur": frames_match_dur,
+    "lang_en": lang_en,
 }
 
 # columns each predicate reads — lets planners skip predicates whose
@@ -86,4 +94,5 @@ PREDICATE_COLUMNS: dict[str, frozenset[str]] = {
     "decodable_bytes": frozenset({"bytes"}),
     "bytes_matches_codec": frozenset({"bytes", "codec"}),
     "frames_match_dur": frozenset({"bytes", "sr_hz", "dur_ms"}),
+    "lang_en": frozenset({"lang"}),
 }

@@ -51,6 +51,85 @@ def schema_violations(actual: pa.Schema, spec: ConstraintSpec) -> pa.Table:
     return pa.concat_tables(out) if out else empty_violations()
 
 
+def unevaluable_warnings(
+    actual: pa.Schema,
+    spec: ConstraintSpec,
+    ref_tables: "set[str] | None" = None,
+) -> pa.Table:
+    """Warning tier (-50 ids): one warning row per declared constraint
+    that CANNOT be evaluated — absent column, unknown facet dtype,
+    unknown predicate/qualifier, missing refs table.
+
+    The reference separates warnings from errors for every check (e.g.
+    CheckPropertiesDefined.php:83-86 -50;
+    CheckOwlRestrictionMax.php -50..-55; CheckURIExistence.php:77-81
+    -50..-53).  Planners silently skip unevaluable constraints (the data
+    pass can't check what isn't there); this driver-side sweep makes
+    every skip loud so a spec/table mismatch is never invisible.
+    """
+    from ..functions.facets import VALIDATORS
+    from .predicates import PREDICATE_COLUMNS, PREDICATES
+
+    names = set(actual.names)
+    out: list[pa.Table] = []
+
+    def warn(cid: str, column: str, observed, expected: str) -> None:
+        out.append(make_violations(cid, [None], column, [observed],
+                                   expected=expected, severity="warning"))
+
+    for col, f in spec.facets.items():
+        if col not in names:
+            warn("DATATYPE-FACET-50", col, None,
+                 "column present for declared facet set")
+        elif f.dtype not in VALIDATORS and f.dtype not in ("binary",):
+            warn("DATATYPE-FACET-51", col, f.dtype,
+                 "facet dtype with a registered validator")
+    for e in spec.enums:
+        if e.column not in names:
+            warn("ENUM-DOMAIN-50", e.column, None,
+                 "column present for enum-domain check")
+    for cd in spec.cross_domains:
+        for m in sorted({cd.type_column, cd.column} - names):
+            warn("CROSS-DOMAIN-51", m, None,
+                 "column present for cross-domain check")
+    for c in spec.cardinalities:
+        cid = ("CARD-MAX-50" if c.max_count is not None
+               else "CARD-EXACT-50" if c.exact_count is not None
+               else "CARD-MIN-50")
+        if c.key not in names:
+            warn(cid, c.key, None, "key column present for cardinality check")
+        elif c.column not in names:
+            warn(cid, c.column, None, "counted column present for cardinality check")
+        elif c.qualifier is not None and c.qualifier not in PREDICATES:
+            warn(cid, c.qualifier, None, "registered qualifier predicate")
+        elif c.qualifier is not None and not (PREDICATE_COLUMNS[c.qualifier] <= names):
+            warn(cid, c.qualifier,
+                 ",".join(sorted(PREDICATE_COLUMNS[c.qualifier] - names)),
+                 "qualifier predicate columns present")
+    for e in spec.existentials:
+        if e.predicate not in PREDICATES:
+            warn("SOME-50", e.predicate, None, "registered predicate")
+        elif e.key not in names:
+            warn("SOME-50", e.key, None, "key column present for existential check")
+        elif not (PREDICATE_COLUMNS[e.predicate] <= names):
+            warn("SOME-50", e.predicate,
+                 ",".join(sorted(PREDICATE_COLUMNS[e.predicate] - names)),
+                 "predicate columns present")
+    for u in spec.universals:
+        if u.predicate not in PREDICATES:
+            warn("ONLY-50", u.predicate, None, "registered predicate")
+        elif not (PREDICATE_COLUMNS[u.predicate] <= names):
+            warn("ONLY-50", u.predicate,
+                 ",".join(sorted(PREDICATE_COLUMNS[u.predicate] - names)),
+                 "predicate columns present")
+    if ref_tables is not None:
+        for ri in spec.ref_integrity:
+            if ri.ref_table not in ref_tables:
+                warn("REF-EXISTENCE-50", ri.ref_column, ri.ref_table,
+                     "refs table supplied for referential check")
+    return pa.concat_tables(out) if out else empty_violations()
+
+
 def spec_completeness_violations(actual: pa.Schema, spec: ConstraintSpec) -> pa.Table:
     missing = [n for n in actual.names if n not in spec.facets]
     if not missing:

@@ -85,14 +85,19 @@ def unified_keyed_violations(
     have = set(meta_ds.schema().names)
     if not key or key not in have:
         return None
+    # unevaluable constraints (absent column / unknown predicate) are
+    # skipped here; the driver's unevaluable_warnings sweep reports them
     cards = [
         c for c in spec.cardinalities
         if c.key == key and c.column in have
-        and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= have)
+        and (c.qualifier is None
+             or PREDICATE_COLUMNS.get(c.qualifier, {None}) <= have)
     ]
     meta_exts = ([e for e in spec.existentials
-                  if e.key == key and PREDICATE_COLUMNS[e.predicate] <= have
-                  and not (PREDICATE_COLUMNS[e.predicate] & set(skip_ext_columns))]
+                  if e.key == key
+                  and PREDICATE_COLUMNS.get(e.predicate, {None}) <= have
+                  and not (PREDICATE_COLUMNS.get(e.predicate, frozenset())
+                           & set(skip_ext_columns))]
                  if include_existentials_from_meta else [])
     ext_predicates = ext_predicates or []
 

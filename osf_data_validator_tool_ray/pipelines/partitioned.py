@@ -114,9 +114,11 @@ def validate_partitioned(
     key = spec.key_column
     cards = [c for c in spec.cardinalities
              if c.key == key and c.column in names0
-             and (c.qualifier is None or PREDICATE_COLUMNS[c.qualifier] <= names0)]
+             and (c.qualifier is None
+                  or PREDICATE_COLUMNS.get(c.qualifier, {None}) <= names0)]
     exts = [e for e in spec.existentials
-            if e.key == key and PREDICATE_COLUMNS[e.predicate] <= names0]
+            if e.key == key
+            and PREDICATE_COLUMNS.get(e.predicate, {None}) <= names0]
     # decode mode: bytes-derived existentials come from the decode scan's
     # stored ext_partials; metadata-only ones stay in the keyed partials.
     # NOTE: one store assumes one decode setting across its lifetime (the

@@ -27,7 +27,11 @@ import pyarrow as pa
 
 import ray.data
 
-from ..checks.schema import schema_violations, spec_completeness_violations
+from ..checks.schema import (
+    schema_violations,
+    spec_completeness_violations,
+    unevaluable_warnings,
+)
 from ..spec import ConstraintSpec
 from ..stages.facet_stage import StatelessValidator, stateless_columns
 
@@ -36,7 +40,14 @@ ALL_CHECK_IDS = [
     "DATATYPE-FACET-101", "ENUM-DOMAIN-100", "CROSS-DOMAIN-100",
     "ONLY-100", "CARD-MAX-100", "CARD-MIN-100", "CARD-MIN-102",
     "CARD-EXACT-100", "SOME-100", "REF-EXISTENCE-100",
-    "DECODE-100", "DECODE-101", "DRIFT-100", "CROSS-DOMAIN-50",
+    "DECODE-100", "DECODE-101", "DRIFT-100",
+    # restriction-lexical combos (dataRange analogs)
+    "CARD-MAX-102", "CARD-MIN-104", "CARD-EXACT-104", "SOME-102", "ONLY-102",
+    # warning tier (-5x): constraint declared but unevaluable / not
+    # decidable — mirrors the reference's systematic warning ids
+    "CROSS-DOMAIN-50", "CROSS-DOMAIN-51", "DATATYPE-FACET-50",
+    "DATATYPE-FACET-51", "ENUM-DOMAIN-50", "CARD-MAX-50", "CARD-MIN-50",
+    "CARD-EXACT-50", "SOME-50", "ONLY-50", "REF-EXISTENCE-50",
 ]
 
 
@@ -121,10 +132,11 @@ def metadata_columns(spec: ConstraintSpec) -> list[str]:
     for c in spec.cardinalities:
         cols.add(c.column)
         if c.qualifier:
-            cols |= PREDICATE_COLUMNS[c.qualifier]
+            cols |= PREDICATE_COLUMNS.get(c.qualifier, frozenset())
     for e in spec.existentials:
-        if "bytes" not in PREDICATE_COLUMNS[e.predicate]:
-            cols |= PREDICATE_COLUMNS[e.predicate]
+        pc_cols = PREDICATE_COLUMNS.get(e.predicate, frozenset())
+        if "bytes" not in pc_cols:
+            cols |= pc_cols
     if spec.key_column:
         cols.add(spec.key_column)
     cols.discard("bytes")
@@ -161,6 +173,11 @@ def run_suite(
     driver_v = pa.concat_tables([
         schema_violations(actual_schema, spec),
         spec_completeness_violations(actual_schema, spec),
+        # -50 warning tier: every constraint skipped as unevaluable
+        # (absent column, unknown dtype/predicate, missing refs table)
+        # is reported, never silently dropped
+        unevaluable_warnings(actual_schema, spec,
+                             ref_tables=set(refs) if refs is not None else None),
     ])
 
     parts: list["ray.data.Dataset"] = []

@@ -94,6 +94,10 @@ class Cardinality:
     max_count: Optional[int] = None
     exact_count: Optional[int] = None
     qualifier: Optional[str] = None
+    # dataRange analog: values COUNTED by this restriction must also pass
+    # this facet set (CheckOwlRestrictionMax.php:535-549 MAX-102,
+    # Min:599 MIN-104) — emitted as CARD-{MAX,MIN,EXACT}-102 rows
+    value_facets: Optional[Facets] = None
 
 
 @dataclass(frozen=True)
@@ -133,6 +137,10 @@ class Existential:
 
     key: str
     predicate: str                      # id in checks registry
+    # dataRange analog: values on rows SATISFYING the predicate must also
+    # pass this facet set (CheckOwlRestrictionSome.php:517 SOME-102)
+    column: Optional[str] = None
+    value_facets: Optional[Facets] = None
 
 
 @dataclass(frozen=True)
@@ -143,6 +151,10 @@ class Universal:
     Analog of owl:allValuesFrom (CheckOwlRestrictionOnly)."""
 
     predicate: str
+    # dataRange analog: every value the universal ranges over must also
+    # pass this facet set (CheckOwlRestrictionOnly.php:536 ONLY-102)
+    column: Optional[str] = None
+    value_facets: Optional[Facets] = None
 
 
 @dataclass
@@ -171,20 +183,27 @@ def spec_to_dict(spec: "ConstraintSpec") -> dict:
         d["expected_schema"] = {f.name: str(f.type) for f in spec.expected_schema}
     # Identity (not equality) checks: 0 == False in Python, so an equality
     # filter would silently drop zero-valued bounds (min_inclusive=0.0).
-    d["facets"] = {c: {k: v for k, v in f.__dict__.items()
-                       if v is not None and v is not False}
-                   for c, f in spec.facets.items()}
+    def _facets_d(f: "Facets") -> dict:
+        return {k: v for k, v in f.__dict__.items()
+                if v is not None and v is not False}
+
+    def _with_vf(obj) -> dict:
+        d2 = {k: v for k, v in obj.__dict__.items() if v is not None}
+        if d2.get("value_facets") is not None:
+            d2["value_facets"] = _facets_d(obj.value_facets)
+        return d2
+
+    d["facets"] = {c: _facets_d(f) for c, f in spec.facets.items()}
     d["enums"] = [{"column": e.column, "allowed": sorted(e.allowed),
                    "parents": dict(e.parents)} for e in spec.enums]
     d["cross_domains"] = [{"type_column": c.type_column, "column": c.column,
                            "allowed": {k: sorted(v) for k, v in c.allowed.items()},
                            "unknown_type_ok": c.unknown_type_ok}
                           for c in spec.cross_domains]
-    d["cardinalities"] = [{k: v for k, v in c.__dict__.items() if v is not None}
-                          for c in spec.cardinalities]
+    d["cardinalities"] = [_with_vf(c) for c in spec.cardinalities]
     d["ref_integrity"] = [dict(r.__dict__) for r in spec.ref_integrity]
-    d["existentials"] = [dict(e.__dict__) for e in spec.existentials]
-    d["universals"] = [dict(u.__dict__) for u in spec.universals]
+    d["existentials"] = [_with_vf(e) for e in spec.existentials]
+    d["universals"] = [_with_vf(u) for u in spec.universals]
     return d
 
 
@@ -205,11 +224,17 @@ def spec_from_dict(d: dict) -> "ConstraintSpec":
             allowed={k: frozenset(v) for k, v in c["allowed"].items()},
             unknown_type_ok=c.get("unknown_type_ok", True))
             for c in d.get("cross_domains", [])],
-        cardinalities=[Cardinality(**c) for c in d.get("cardinalities", [])],
+        cardinalities=[Cardinality(**_parse_vf(c)) for c in d.get("cardinalities", [])],
         ref_integrity=[RefIntegrity(**r) for r in d.get("ref_integrity", [])],
-        existentials=[Existential(**e) for e in d.get("existentials", [])],
-        universals=[Universal(**u) for u in d.get("universals", [])],
+        existentials=[Existential(**_parse_vf(e)) for e in d.get("existentials", [])],
+        universals=[Universal(**_parse_vf(u)) for u in d.get("universals", [])],
     )
+
+
+def _parse_vf(d: dict) -> dict:
+    if d.get("value_facets") is not None:
+        d = dict(d, value_facets=Facets(**d["value_facets"]))
+    return d
 
 
 def _parse_type(name: str) -> pa.DataType:

@@ -46,10 +46,33 @@ class StatelessValidator:
         self.key = spec.key_column
         self.skip_columns = set(skip_columns)
         self.enum_closures = [(e.column, e.closure()) for e in spec.enums]
+        # unknown predicate ids are skipped here and reported by the
+        # driver's unevaluable_warnings sweep (ONLY-50)
         self.universals = ([(u.predicate, PREDICATES[u.predicate])
                             for u in spec.universals
-                            if not (PREDICATE_COLUMNS[u.predicate] & self.skip_columns)]
+                            if u.predicate in PREDICATES
+                            and not (PREDICATE_COLUMNS[u.predicate] & self.skip_columns)]
                            if include_universals else [])
+        # restriction-lexical combos (the dataRange analogs): values a
+        # restriction matches must ALSO pass its declared facet set —
+        # CheckOwlRestrictionMax.php:535-549 MAX-102, Min:599 MIN-104,
+        # Some:517 SOME-102, Only:536 ONLY-102
+        self.restriction_lexical: list = []
+        for c in spec.cardinalities:
+            if c.value_facets is not None:
+                cid = ("CARD-MAX-102" if c.max_count is not None
+                       else "CARD-EXACT-104" if c.exact_count is not None
+                       else "CARD-MIN-104")
+                self.restriction_lexical.append(
+                    (cid, c.column, c.value_facets, c.qualifier))
+        for e in spec.existentials:
+            if e.value_facets is not None and e.column:
+                self.restriction_lexical.append(
+                    ("SOME-102", e.column, e.value_facets, e.predicate))
+        for u in spec.universals:
+            if u.value_facets is not None and u.column:
+                self.restriction_lexical.append(
+                    ("ONLY-102", u.column, u.value_facets, None))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -119,6 +142,28 @@ class StatelessValidator:
             if v is not None:
                 out.append(v)
 
+        # 5. restriction-lexical combos: facet-validate the values the
+        # restriction ranges over (qualifier-scoped when one is declared)
+        for cid, column, vf, qname in self.restriction_lexical:
+            if column not in batch.column_names or column in self.skip_columns:
+                continue
+            if qname is not None:
+                if (qname not in PREDICATES
+                        or not PREDICATE_COLUMNS[qname] <= set(batch.column_names)):
+                    continue
+                scope = PREDICATES[qname](batch)
+            else:
+                scope = np.ones(batch.num_rows, dtype=bool)
+            values = batch.column(column).to_pandas()
+            for facet_name, mask in facet_violations(values, vf).items():
+                v = mask_violations(
+                    batch, mask & scope, cid, self.key, column,
+                    expected=f"{vf.dtype}:{facet_name} within restriction"
+                             + (f" where {qname}" if qname else ""),
+                )
+                if v is not None:
+                    out.append(v)
+
         if not out:
             return empty_violations()
         return pa.concat_tables(out).combine_chunks()
@@ -138,8 +183,23 @@ def stateless_columns(spec: ConstraintSpec, skip_columns: tuple = (),
     if include_universals:
         from ..checks.predicates import PREDICATE_COLUMNS as _PC
         for u in spec.universals:
-            if not (_PC[u.predicate] & set(skip_columns)):
-                cols |= _PC[u.predicate]
+            pc_cols = _PC.get(u.predicate)
+            if pc_cols is not None and not (pc_cols & set(skip_columns)):
+                cols |= pc_cols
+    # restriction-lexical combos ride this pass too
+    from ..checks.predicates import PREDICATE_COLUMNS as _PC2
+    for c in spec.cardinalities:
+        if c.value_facets is not None:
+            cols.add(c.column)
+            if c.qualifier:
+                cols |= _PC2.get(c.qualifier, frozenset())
+    for e in spec.existentials:
+        if e.value_facets is not None and e.column:
+            cols.add(e.column)
+            cols |= _PC2.get(e.predicate, frozenset())
+    for u in spec.universals:
+        if u.value_facets is not None and u.column:
+            cols.add(u.column)
     cols -= set(skip_columns)
     if spec.key_column:
         cols.add(spec.key_column)

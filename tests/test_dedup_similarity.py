@@ -128,3 +128,35 @@ def test_exact_jaccard_for_pairs_empty():
         ds, pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                           "id_b": pd.Series(dtype="int64")}), "text", "doc_id")
     assert len(out) == 0 and "jaccard" in out.columns
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    """Recall gate for the LSH ANN path: against exact brute-force top-k
+    on the driver testdata, probe-bucket+hamming-1 recall >= 0.6 and the
+    self-match (rank-1) is always found."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qt = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 3)
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qt.column("embedding").to_pylist()])
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ann_topk_bruteforce(ds, "embedding", "vec_id", queries, k=5).to_pandas()
+    approx = ann_topk_lsh(ds, "embedding", "vec_id", queries, k=5,
+                          n_planes=6).to_pandas()
+    recalls = []
+    for qi in sorted(exact.query_id.unique()):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+        # the query IS row qi: cosine 1.0 must be found (same bucket)
+        assert qi in a
+    assert np.mean(recalls) >= 0.6, recalls

@@ -265,3 +265,101 @@ def test_embedding_bucket_truncation_warns(caplog):
             max_bucket=8).to_pandas()
     assert any("truncated" in r.message for r in caplog.records)
     assert len(pairs) > 0
+
+
+def test_warning_tier_unevaluable_constraints():
+    """A spec naming absent columns / unknown dtypes / unknown predicates
+    yields -50 warnings (never silent skips) and does not fail the run."""
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+    from osf_data_validator_tool_ray.spec import (
+        Cardinality, ConstraintSpec, CrossColumnDomain, EnumDomain,
+        Existential, Facets, RefIntegrity, Universal,
+    )
+
+    df = pd.DataFrame({"id": ["a", "b"], "v": [1, 2]})
+    spec = ConstraintSpec(
+        table="t", key_column="id",
+        facets={"id": Facets(dtype="string"),
+                "ghost": Facets(dtype="string", not_null=True),     # absent col
+                "v": Facets(dtype="madeUpType")},                    # unknown dtype
+        enums=[EnumDomain(column="ghost2", allowed=frozenset({"x"}))],
+        cross_domains=[CrossColumnDomain(type_column="ghost3", column="v",
+                                         allowed={"x": frozenset({1})})],
+        cardinalities=[
+            Cardinality(key="id", column="ghost4", max_count=1),     # absent col
+            Cardinality(key="id", column="v", min_count=1,
+                        qualifier="no_such_predicate"),              # unknown qual
+        ],
+        existentials=[Existential(key="id", predicate="no_such_predicate")],
+        universals=[Universal(predicate="no_such_predicate")],
+        ref_integrity=[RefIntegrity(ref_table="missing_refs",
+                                    ref_column="id", key_column="id")],
+    )
+    res = run_suite(ray.data.from_pandas(df), spec, refs={})
+    rep = res.report()
+    warn_ids = {cid for cid, info in rep["checks"].items()
+                if info["n_warnings"] > 0}
+    assert {"DATATYPE-FACET-50", "DATATYPE-FACET-51", "ENUM-DOMAIN-50",
+            "CROSS-DOMAIN-51", "CARD-MAX-50", "CARD-MIN-50", "SOME-50",
+            "ONLY-50", "REF-EXISTENCE-50"} <= warn_ids
+    # warnings are non-fatal: no error-severity rows from the skips
+    for cid in warn_ids:
+        assert rep["checks"][cid]["n_violations"] == 0 or cid.endswith("-100")
+
+
+def test_restriction_lexical_ids():
+    """dataRange analogs: values a restriction matches must also pass its
+    declared facet set, each with its own ID (MAX-102 / MIN-104 /
+    EXACT-104 / SOME-102 / ONLY-102 reference analogs)."""
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+    from osf_data_validator_tool_ray.spec import (
+        Cardinality, ConstraintSpec, Existential, Facets, Universal,
+    )
+
+    df = pd.DataFrame({
+        "id":   ["a", "a", "b", "c", "c", "d"],
+        "val":  ["ok", "x" * 30, "fine", None, "good", "y" * 40],
+        "note": ["n1", "n2", "", "n4", "n5", "n6"],
+    })
+    spec = ConstraintSpec(
+        table="t", key_column="id",
+        cardinalities=[
+            # counted vals must be <= 20 chars
+            Cardinality(key="id", column="val", max_count=3,
+                        value_facets=Facets(dtype="string", max_length=20)),
+            Cardinality(key="id", column="val", min_count=1,
+                        value_facets=Facets(dtype="string", max_length=35)),
+            Cardinality(key="id", column="note", exact_count=1,
+                        value_facets=Facets(dtype="string", min_length=1)),
+        ],
+        existentials=[Existential(key="id", predicate="nonempty_transcript",
+                                  column="val",
+                                  value_facets=Facets(dtype="string",
+                                                      max_length=25))],
+        universals=[Universal(predicate="nonempty_transcript", column="val",
+                              value_facets=Facets(dtype="string",
+                                                  max_length=29))],
+    )
+    # the existential/universal predicate reads `transcript`
+    df["transcript"] = ["t"] * 6
+    v = run_suite(ray.data.from_pandas(df), spec).violations.to_pandas()
+    by_id = v.groupby("check_id")["key"].apply(set).to_dict()
+    assert by_id.get("CARD-MAX-102") == {"a", "d"}       # 30- and 40-char vals
+    assert by_id.get("CARD-MIN-104") == {"d"}            # only the 40-char val
+    assert by_id.get("CARD-EXACT-104") == {"b"}          # empty note
+    assert by_id.get("SOME-102") == {"a", "d"}           # scope: all (transcript nonempty)
+    assert by_id.get("ONLY-102") == {"a", "d"}
+
+
+def test_restriction_lexical_roundtrips_spec():
+    from osf_data_validator_tool_ray.spec import (
+        Cardinality, ConstraintSpec, Facets, spec_from_dict, spec_to_dict,
+    )
+
+    spec = ConstraintSpec(
+        table="t", key_column="k",
+        cardinalities=[Cardinality(key="k", column="v", max_count=2,
+                                   value_facets=Facets(dtype="int",
+                                                       min_inclusive=0.0))])
+    s2 = spec_from_dict(spec_to_dict(spec))
+    assert s2.cardinalities[0].value_facets == spec.cardinalities[0].value_facets
