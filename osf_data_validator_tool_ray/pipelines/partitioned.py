@@ -11,15 +11,20 @@ Per incomplete partition (skipped when its checkpoint record is done):
      global merge never needs the raw rows again)
   4. metrics + lineage record -> checkpoint store (atomic)
 
-Reads are branch-pruned AT THE SCAN: the metadata branches read only the
-columns they touch (read_parquet(columns=...)), so the wide `bytes`
-column is never decompressed unless the decode branch runs — a later
-select_columns is NOT pushed into the parquet scan by Ray's optimizer.
-
-Partitions are driven ``max_inflight`` at a time (each partition's
-pipeline is itself parallel over its blocks); bounded overlap keeps a
-fleet from serializing on partition boundaries while the checkpoint
-store's atomic per-partition records keep resume semantics unchanged.
+Execution model: ONE Ray task per partition.  The partition is the unit
+of parallelism — a fleet processes thousands of fragments concurrently,
+each task streaming its file batch-by-batch through the same vectorized
+kernels the Dataset path uses (StatelessValidator, _PartialAggregator,
+BytesSuitePass).  This avoids paying a full Ray Dataset execution's
+fixed cost (planning + scheduling + barrier) several times per
+partition, which dominates when fragments are small; for large
+fragments the in-task loop is memory-bounded (iter_batches streams).
+Reads are branch-pruned AT THE SCAN: iter_batches(columns=...) reads
+only what each branch touches, so the wide `bytes` column is never
+decompressed unless the decode branch runs.  The checkpoint store's
+atomic per-partition records keep resume semantics unchanged (store
+root must be on a filesystem all workers share — same contract as the
+artifact sinks).
 
 Final merge (cheap, always re-run):
   * read all partitions' partials -> ONE groupby(key) -> grouped
@@ -43,7 +48,6 @@ import glob
 import os
 import time
 import uuid
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import pyarrow as pa
@@ -86,6 +90,111 @@ def _severity_counts(files: list[str]) -> tuple[int, int]:
     return n_err, n_warn
 
 
+@ray.remote
+def _partition_task(
+    path: str,
+    spec: ConstraintSpec,
+    store_root: str,
+    decode: bool,
+    batch_size: Optional[int],
+    key: Optional[str],
+    cards: list,
+    meta_exts: list,
+    declared_universals: frozenset,
+) -> dict:
+    """Process ONE partition inside one Ray task: stream the file's
+    batches through the vectorized kernels, write artifacts, record the
+    checkpoint.  No nested Ray Data execution — at fleet scale the outer
+    task fan-out IS the parallelism."""
+    import pyarrow.parquet as pq
+
+    from ..checks.base import empty_violations
+    from ..stages.decode_stage import (
+        BytesSuitePass, combined_ext_partials, combined_violations)
+
+    store = CheckpointStore(store_root)
+    pid = _partition_id(path)
+    t0 = time.time()
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    n_rows = pf.metadata.num_rows             # from footer, no scan
+    have_bytes = decode and "bytes" in names
+
+    tmp_base = os.path.join(store.root, f"_tmp_{pid}_{uuid.uuid4().hex[:6]}")
+
+    # ---- branch-pruned column sets -------------------------------------
+    skip = ("bytes",) if have_bytes else ()
+    sl_cols = [c for c in stateless_columns(spec, skip_columns=skip,
+                                            include_universals=True)
+               if c in names]
+    part_cols = set()
+    if key:
+        part_cols.add(key)
+    for c in cards:
+        part_cols.add(c.column)
+        if c.qualifier:
+            part_cols |= PREDICATE_COLUMNS[c.qualifier]
+    for e in meta_exts:
+        part_cols |= PREDICATE_COLUMNS[e.predicate]
+    # `bytes` stays in part_cols only if a qualifier genuinely reads it
+    meta_cols = sorted((set(sl_cols) | part_cols) & names)
+
+    sl = StatelessValidator(spec, skip_columns=skip, include_universals=True)
+    do_partials = bool(key and (cards or meta_exts) and key in names)
+    agg = _PartialAggregator(key, cards, meta_exts) if do_partials else None
+
+    viols: list[pa.Table] = []
+    partials: list[pa.Table] = []
+    if meta_cols:
+        for rb in pf.iter_batches(batch_size=batch_size or 65536,
+                                  columns=meta_cols):
+            t = pa.Table.from_batches([rb])
+            viols.append(sl(t.select([c for c in sl_cols if c in t.column_names])))
+            if agg is not None:
+                partials.append(agg(t))
+
+    def _write_artifact(tables: list[pa.Table], suffix: str, kind: str,
+                        empty: Optional[pa.Table] = None) -> pa.Table:
+        tbl = (pa.concat_tables(tables).combine_chunks() if tables
+               else (empty if empty is not None else empty_violations()))
+        tmp = tmp_base + suffix
+        os.makedirs(tmp, exist_ok=True)
+        if tbl.num_rows:
+            pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+        store.publish_artifact(pid, kind, tmp)
+        return tbl
+
+    ext_parts: list[pa.Table] = []
+    if have_bytes:
+        # decode=True: ONE streamed scan of the payload column; small
+        # batches keep the wide bytes rows within the task heap
+        bp = BytesSuitePass(universal_predicates=declared_universals)
+        bytes_cols = [c for c in _BYTES_COLS if c in names]
+        for rb in pf.iter_batches(batch_size=256, columns=bytes_cols):
+            comb = bp(pa.Table.from_batches([rb]))
+            viols.append(combined_violations(comb))
+            ext_parts.append(combined_ext_partials(comb))
+        _write_artifact(ext_parts, "_extpartials", "ext_partials",
+                        empty=pa.table({"key": pa.array([], type=pa.string()),
+                                        "_ext_n": pa.array([], type=pa.int64())}))
+
+    viol_t = _write_artifact(viols, "_violations", "violations")
+    if agg is not None:
+        _write_artifact(partials, "_partials", "partials",
+                        empty=pa.schema([]).empty_table())
+
+    # per-partition verdict directly from the in-memory result (errors
+    # fail, warnings don't)
+    sev = viol_t.column("severity").to_pylist() if viol_t.num_rows else []
+    n_err = sum(1 for s in sev if s == "error")
+    n_warn = sum(1 for s in sev if s == "warning")
+    metrics = {"n_rows": n_rows, "lineage": path,
+               "n_violations": n_err, "n_warnings": n_warn,
+               "pass": n_err == 0, "runtime_s": time.time() - t0}
+    store.record(pid, metrics)
+    return metrics
+
+
 def validate_partitioned(
     input_glob: str,
     spec: ConstraintSpec,
@@ -93,11 +202,14 @@ def validate_partitioned(
     decode: bool = False,
     batch_size: Optional[int] = None,
     refs: Optional[dict[str, "ray.data.Dataset"]] = None,
-    max_inflight: int = 2,
+    max_inflight: Optional[int] = None,
+    task_num_cpus: float = 1,
 ) -> dict:
     """Run/resume the partitioned validation; returns the merged report.
 
-    ``max_inflight`` partitions run concurrently (bounded); resume
+    One Ray task per partition; the cluster scheduler runs as many as
+    CPU slots allow.  ``max_inflight`` optionally caps submitted-but-
+    unfinished tasks (for memory-constrained artifact stores); resume
     granularity stays one partition (atomic checkpoint records).
     """
     import pyarrow.parquet as pq
@@ -127,89 +239,22 @@ def validate_partitioned(
                  if decode else exts)
     declared_universals = {u.predicate for u in spec.universals}
 
-    def run_partition(path: str) -> None:
-        pid = _partition_id(path)
-        t0 = time.time()
-        file_meta = pq.ParquetFile(path)
-        names = set(file_meta.schema_arrow.names)
-        n_rows = file_meta.metadata.num_rows       # from footer, no scan
-        have_bytes = decode and "bytes" in names
-
-        tmp_base = os.path.join(store.root, f"_tmp_{pid}_{uuid.uuid4().hex[:6]}")
-
-        # ---- branch-pruned reads ---------------------------------------
-        skip = ("bytes",) if have_bytes else ()
-        sl_cols = [c for c in stateless_columns(spec, skip_columns=skip,
-                                                include_universals=True)
-                   if c in names]
-        # columns the grouped-constraint partials need
-        part_cols = set()
-        if key:
-            part_cols.add(key)
-        for c in cards:
-            part_cols.add(c.column)
-            if c.qualifier:
-                part_cols |= PREDICATE_COLUMNS[c.qualifier]
-        for e in meta_exts:
-            part_cols |= PREDICATE_COLUMNS[e.predicate]
-        # note: `bytes` remains in part_cols only if a cardinality
-        # qualifier genuinely reads it — meta_exts never does in decode mode
-        meta_cols = sorted((set(sl_cols) | part_cols) & names)
-
-        meta_ds = ray.data.read_parquet(path, columns=meta_cols)
-
-        # decode=True: the fused pass is the ONE scan of the bytes column
-        # (stateless drops its bytes-derived universals; the bytes
-        # existentials come from the stored ext partials)
-        viol = meta_ds.select_columns(sl_cols).map_batches(
-            StatelessValidator(spec, skip_columns=skip, include_universals=True),
-            batch_format="pyarrow",
-            **({"batch_size": batch_size} if batch_size else {}))
-        if have_bytes:
-            from ..stages.decode_stage import bytes_suite_pass
-            bytes_cols = [c for c in _BYTES_COLS if c in names]
-            bytes_ds = ray.data.read_parquet(path, columns=bytes_cols)
-            bytes_v, ext_p = bytes_suite_pass(
-                bytes_ds, universal_predicates=declared_universals)
-            viol = viol.union(bytes_v)
-            e_tmp = tmp_base + "_extpartials"
-            ext_p.write_parquet(e_tmp)
-            store.publish_artifact(pid, "ext_partials", e_tmp)
-        v_tmp = tmp_base + "_violations"
-        viol.write_parquet(v_tmp)
-        vdir = store.publish_artifact(pid, "violations", v_tmp)
-
-        # per-partition verdict from the written artifact (severity-only
-        # column read, no recompute); errors fail, warnings don't
-        n_err, n_warn = _severity_counts(
-            sorted(glob.glob(os.path.join(vdir, "*.parquet"))))
-        metrics = {"n_rows": n_rows, "lineage": path,
-                   "n_violations": n_err, "n_warnings": n_warn,
-                   "pass": n_err == 0}
-
-        # grouped-constraint partials over the pruned metadata read
-        part_exts = meta_exts
-        if key and (cards or part_exts) and key in names:
-            partials = meta_ds.map_batches(
-                _PartialAggregator(key, cards, part_exts), batch_format="pyarrow",
-                **({"batch_size": batch_size} if batch_size else {}))
-            p_tmp = tmp_base + "_partials"
-            partials.write_parquet(p_tmp)
-            store.publish_artifact(pid, "partials", p_tmp)
-
-        metrics["runtime_s"] = time.time() - t0
-        store.record(pid, metrics)
-
     todo = [p for p in files if _partition_id(p) not in done]
     n_skipped = len(files) - len(todo)
     if todo:
-        if max_inflight > 1 and len(todo) > 1:
-            with ThreadPoolExecutor(max_workers=max_inflight) as ex:
-                # list() re-raises the first partition failure
-                list(ex.map(run_partition, todo))
-        else:
-            for path in todo:
-                run_partition(path)
+        import ray as _ray
+
+        task = _partition_task.options(num_cpus=task_num_cpus)
+        pending: list = []
+        finished: list = []
+        for path in todo:
+            if max_inflight and len(pending) >= max_inflight:
+                ready, pending = _ray.wait(pending, num_returns=1)
+                finished.extend(ready)
+            pending.append(task.remote(path, spec, store.root, decode,
+                                       batch_size, key, cards, meta_exts,
+                                       frozenset(declared_universals)))
+        _ray.get(finished + pending)     # re-raises the first task failure
     n_ran = len(todo)
 
     # ---- global merge (always re-run; reads only stored artifacts) -------

@@ -238,118 +238,131 @@ def bytes_suite_pass(
     this, custom specs that never declare bytes_matches_codec /
     frames_match_dur would see spurious ONLY-100 errors.
     """
-    import pandas as pd
-
     if universal_predicates is None:
         universal_predicates = {"bytes_matches_codec", "frames_match_dur"}
     cols = [c for c in ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
             if c in ds.schema().names]
     sub = ds.select_columns(cols)
 
-    class _FullPass:
-        """Per-batch body.  As a task fn it reuses one process-cached
-        validator per worker (tasks run in Ray's long-lived worker
-        processes, so setup amortizes across runs without paying actor
-        pool spin-up per execution); pass use_actors=True for stages
-        whose state is genuinely heavy (models)."""
-
-        def __init__(self):
-            self.validator = AudioDecodeValidator(frame_tolerance, profile=profile)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            stats = self.validator(batch)
-            out = []
-            ok = stats.column("decoded_ok").to_numpy(zero_copy_only=False)
-            keys = np.asarray(stats.column("clip_id").to_pylist(), dtype=object)
-            errs = np.asarray(stats.column("error").to_pylist(), dtype=object)
-            frames = stats.column("frames").to_numpy(zero_copy_only=False)
-            psr = stats.column("payload_sr_hz").to_numpy(zero_copy_only=False)
-            pcodec = np.asarray(stats.column("payload_codec").to_pylist(), dtype=object)
-
-            if (~ok).any():
-                m = ~ok
-                out.append(make_violations(DECODE_100, keys[m], "bytes", errs[m],
-                                           expected="payload decodes"))
-                null_m = errs == "null payload"
-                if null_m.any():
-                    out.append(make_violations(
-                        "DATATYPE-FACET-101", keys[null_m], "bytes",
-                        [None] * int(null_m.sum()), expected="binary:not_null"))
-            if "codec" in batch.column_names:
-                dec = np.asarray(batch.column("codec").to_pylist(), dtype=object)
-                m = ok & (pcodec != dec)
-                if m.any():
-                    out.append(make_violations(DECODE_101, keys[m], "codec", pcodec[m],
-                                               expected="header codec == codec column"))
-                # universal ONLY-100: every payload container matches codec
-                # (only when the spec declares this universal)
-                if "bytes_matches_codec" in universal_predicates:
-                    only_m = ~(ok & (pcodec == dec))
-                    if only_m.any():
-                        out.append(make_violations(
-                            "ONLY-100", keys[only_m], "bytes_matches_codec",
-                            pcodec[only_m],
-                            expected="all rows satisfy bytes_matches_codec"))
-            if "sr_hz" in batch.column_names:
-                sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
-                m = ok & (psr != sr)
-                if m.any():
-                    out.append(make_violations(DECODE_101, keys[m], "sr_hz", psr[m],
-                                               expected="header sr == sr_hz column"))
-                if "dur_ms" in batch.column_names:
-                    dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
-                    expect = sr.astype(np.float64) * dur.astype(np.float64) / 1000.0
-                    tol = np.maximum(1.0, frame_tolerance * expect)
-                    m = ok & (np.abs(frames - expect) > tol)
-                    if m.any():
-                        out.append(make_violations(DECODE_101, keys[m], "dur_ms",
-                                                   frames[m],
-                                                   expected="frames ~= dur_ms*sr_hz/1000"))
-                        if "frames_match_dur" in universal_predicates:
-                            out.append(make_violations(
-                                "ONLY-100", keys[m], "frames_match_dur", frames[m],
-                                expected="all rows satisfy frames_match_dur"))
-            v = (pa.concat_tables(out).combine_chunks() if out
-                 else empty_violations())
-            # existential partial: decodable count per key in this batch
-            pdf = pd.DataFrame({"key": keys, "_ok": ok.astype(np.int64)})
-            part = pdf.groupby("key", sort=False)["_ok"].sum().reset_index()
-            v = v.append_column("_rowtype", pa.array(["v"] * v.num_rows, type=pa.string()))
-            v = v.append_column("_ext_n", pa.array([0] * v.num_rows, type=pa.int64()))
-            p = pa.table({
-                "check_id": pa.array([None] * len(part), type=pa.string()),
-                "severity": pa.array([None] * len(part), type=pa.string()),
-                "key": pa.array(part["key"].astype(object), type=pa.string()),
-                "column": pa.array([None] * len(part), type=pa.string()),
-                "observed": pa.array([None] * len(part), type=pa.string()),
-                "expected": pa.array([None] * len(part), type=pa.string()),
-                "_rowtype": pa.array(["p"] * len(part), type=pa.string()),
-                "_ext_n": pa.array(part["_ok"].to_numpy(), type=pa.int64()),
-            })
-            return pa.concat_tables([v, p]).combine_chunks()
-
     if use_actors:
-        combined = sub.map_batches(_FullPass, batch_format="pyarrow",
-                                   batch_size=batch_size, concurrency=concurrency,
-                                   num_cpus=1).materialize()
+        combined = sub.map_batches(
+            BytesSuitePass, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_args=(frame_tolerance, profile,
+                                 frozenset(universal_predicates)),
+            concurrency=concurrency, num_cpus=1).materialize()
     else:
         # task path: decode state is cheap, and tasks run in Ray's warm
         # worker processes — no per-execution actor pool spin-up (an
         # instance, not the class, makes map_batches schedule tasks)
-        combined = sub.map_batches(_FullPass(), batch_format="pyarrow",
-                                   batch_size=batch_size).materialize()
+        combined = sub.map_batches(
+            BytesSuitePass(frame_tolerance, profile,
+                           frozenset(universal_predicates)),
+            batch_format="pyarrow", batch_size=batch_size).materialize()
 
-    def only_v(t: pa.Table) -> pa.Table:
-        m = pc.equal(t.column("_rowtype"), "v")
-        return t.filter(m).drop_columns(["_rowtype", "_ext_n"])
-
-    def only_p(t: pa.Table) -> pa.Table:
-        m = pc.equal(t.column("_rowtype"), "p")
-        return t.filter(m).select(["key", "_ext_n"])
-
-    violations = combined.map_batches(only_v, batch_format="pyarrow")
-    partials = combined.map_batches(only_p, batch_format="pyarrow")
+    violations = combined.map_batches(combined_violations, batch_format="pyarrow")
+    partials = combined.map_batches(combined_ext_partials, batch_format="pyarrow")
     return violations, partials
+
+
+class BytesSuitePass:
+    """Per-batch body of the single bytes scan (shared by the Dataset
+    path above and the per-partition task path in
+    pipelines/partitioned.py).  Output is a tagged union: violation rows
+    (_rowtype='v') + per-key decodable-count partials (_rowtype='p') —
+    split with combined_violations / combined_ext_partials."""
+
+    def __init__(self, frame_tolerance: float = 0.02, profile: str = "light",
+                 universal_predicates: frozenset = frozenset(
+                     {"bytes_matches_codec", "frames_match_dur"})):
+        self.validator = AudioDecodeValidator(frame_tolerance, profile=profile)
+        self.frame_tolerance = frame_tolerance
+        self.universal_predicates = universal_predicates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        frame_tolerance = self.frame_tolerance
+        universal_predicates = self.universal_predicates
+        stats = self.validator(batch)
+        out = []
+        ok = stats.column("decoded_ok").to_numpy(zero_copy_only=False)
+        keys = np.asarray(stats.column("clip_id").to_pylist(), dtype=object)
+        errs = np.asarray(stats.column("error").to_pylist(), dtype=object)
+        frames = stats.column("frames").to_numpy(zero_copy_only=False)
+        psr = stats.column("payload_sr_hz").to_numpy(zero_copy_only=False)
+        pcodec = np.asarray(stats.column("payload_codec").to_pylist(), dtype=object)
+
+        if (~ok).any():
+            m = ~ok
+            out.append(make_violations(DECODE_100, keys[m], "bytes", errs[m],
+                                       expected="payload decodes"))
+            null_m = errs == "null payload"
+            if null_m.any():
+                out.append(make_violations(
+                    "DATATYPE-FACET-101", keys[null_m], "bytes",
+                    [None] * int(null_m.sum()), expected="binary:not_null"))
+        if "codec" in batch.column_names:
+            dec = np.asarray(batch.column("codec").to_pylist(), dtype=object)
+            m = ok & (pcodec != dec)
+            if m.any():
+                out.append(make_violations(DECODE_101, keys[m], "codec", pcodec[m],
+                                           expected="header codec == codec column"))
+            # universal ONLY-100: every payload container matches codec
+            # (only when the spec declares this universal)
+            if "bytes_matches_codec" in universal_predicates:
+                only_m = ~(ok & (pcodec == dec))
+                if only_m.any():
+                    out.append(make_violations(
+                        "ONLY-100", keys[only_m], "bytes_matches_codec",
+                        pcodec[only_m],
+                        expected="all rows satisfy bytes_matches_codec"))
+        if "sr_hz" in batch.column_names:
+            sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+            m = ok & (psr != sr)
+            if m.any():
+                out.append(make_violations(DECODE_101, keys[m], "sr_hz", psr[m],
+                                           expected="header sr == sr_hz column"))
+            if "dur_ms" in batch.column_names:
+                dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+                expect = sr.astype(np.float64) * dur.astype(np.float64) / 1000.0
+                tol = np.maximum(1.0, frame_tolerance * expect)
+                m = ok & (np.abs(frames - expect) > tol)
+                if m.any():
+                    out.append(make_violations(DECODE_101, keys[m], "dur_ms",
+                                               frames[m],
+                                               expected="frames ~= dur_ms*sr_hz/1000"))
+                    if "frames_match_dur" in universal_predicates:
+                        out.append(make_violations(
+                            "ONLY-100", keys[m], "frames_match_dur", frames[m],
+                            expected="all rows satisfy frames_match_dur"))
+        v = (pa.concat_tables(out).combine_chunks() if out
+             else empty_violations())
+        # existential partial: decodable count per key in this batch
+        pdf = pd.DataFrame({"key": keys, "_ok": ok.astype(np.int64)})
+        part = pdf.groupby("key", sort=False)["_ok"].sum().reset_index()
+        v = v.append_column("_rowtype", pa.array(["v"] * v.num_rows, type=pa.string()))
+        v = v.append_column("_ext_n", pa.array([0] * v.num_rows, type=pa.int64()))
+        p = pa.table({
+            "check_id": pa.array([None] * len(part), type=pa.string()),
+            "severity": pa.array([None] * len(part), type=pa.string()),
+            "key": pa.array(part["key"].astype(object), type=pa.string()),
+            "column": pa.array([None] * len(part), type=pa.string()),
+            "observed": pa.array([None] * len(part), type=pa.string()),
+            "expected": pa.array([None] * len(part), type=pa.string()),
+            "_rowtype": pa.array(["p"] * len(part), type=pa.string()),
+            "_ext_n": pa.array(part["_ok"].to_numpy(), type=pa.int64()),
+        })
+        return pa.concat_tables([v, p]).combine_chunks()
+
+
+def combined_violations(t: pa.Table) -> pa.Table:
+    m = pc.equal(t.column("_rowtype"), "v")
+    return t.filter(m).drop_columns(["_rowtype", "_ext_n"])
+
+
+def combined_ext_partials(t: pa.Table) -> pa.Table:
+    m = pc.equal(t.column("_rowtype"), "p")
+    return t.filter(m).select(["key", "_ext_n"])
 
 
 def existential_violations_from_partials(
