@@ -203,10 +203,13 @@ def _q_distinct_counts(sf_dir: str):
 def _q_group_stats(sf_dir: str):
     """Grouped aggregate (TPC-H Q1-lite): per (l_returnflag, l_linestatus)
     row count, exact integer-valued quantity sum, and the derived mean."""
-    from ray.data.aggregate import Count, Sum
+    from osf_data_validator_tool_ray.pipelines.relational import grouped_agg
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    # two-phase: per-batch combiner partials, tiny merge (6 groups) —
+    # the exchange never moves raw rows
+    agg = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                      {"n": ("l_quantity", "count"),
+                       "sum_qty": ("l_quantity", "sum")})
 
     def finish(t: pa.Table) -> pa.Table:
         avg = pc.divide(t.column("sum_qty"), pc.cast(t.column("n"), pa.float64()))

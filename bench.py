@@ -239,12 +239,21 @@ def run_scaling() -> dict:
     n_lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "4"))
     n_hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", str(4 * n_lo)))
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_BENCH="clips-only", RAY_GRAFT_PROFILE="full")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best of RAY_GRAFT_SCALE_REPS fresh processes per level: the
+        # low-cpu leg runs ~100s and ambient daemon load perturbs it by
+        # >10% run to run; min-of-reps is the standard noise floor for a
+        # fixed workload (both levels get the same treatment)
+        reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "2"))
+        results = [run_once(ncpu) for _ in range(reps)]
+        return min(results, key=lambda r: r["value"])
 
     _scaling_clips_meta()   # synth/caches the dataset outside the timed runs
     lo = run(n_lo)

@@ -52,12 +52,25 @@ def exact_dedup_groups(
             keep_id=("_id", "min"), n=("_id", "size")).reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    return (
-        ds.select_columns([text_col, id_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n"))
-    )
+    from ..pipelines.relational import fits_driver_merge
+
+    partials = ds.select_columns([text_col, id_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).materialize()
+    # adaptive final merge (row- and byte-gated): the per-batch hash
+    # partials are one row per distinct content per block, so small sets
+    # skip the exchange; at corpus scale the shuffle path runs
+    if fits_driver_merge(partials):
+        df = partials.to_pandas()
+        if len(df) == 0:
+            return ray.data.from_arrow(pa.table(
+                {"text_hash": pa.array([], type=pa.string()),
+                 "keep_id": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}))
+        agg = df.groupby("text_hash", sort=False).agg(
+            keep_id=("keep_id", "min"), n=("n", "sum")).reset_index()
+        return ray.data.from_pandas(agg)
+    return partials.groupby("text_hash").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n"))
 
 
 def exact_dedup_keep_first(

@@ -61,20 +61,33 @@ def anti_join_missing(
     One hash exchange over per-batch-distinct partials; returns a Dataset
     with a single `key` column of missing values.
     """
+    from ..pipelines.relational import fits_driver_merge
     from .cardinality import coalesce_partials
 
     r = refs.select_columns([ref_column]).map_batches(
         _distinct_partial(ref_column, "ref"), batch_format="pyarrow", batch_size=None)
     k = keys.select_columns([key_column]).map_batches(
         _distinct_partial(key_column, "key"), batch_format="pyarrow", batch_size=None)
-    merged = coalesce_partials(r.union(k)).groupby("key").aggregate(
-        Max("is_ref", alias_name="is_ref"), Max("is_key", alias_name="is_key"))
 
     def missing(t: pa.Table) -> pa.Table:
         m = (t.column("is_ref").to_numpy(zero_copy_only=False) == 1) & (
             t.column("is_key").to_numpy(zero_copy_only=False) == 0)
         return t.filter(pa.array(m)).select(["key"])
 
+    # adaptive final merge (same pattern as the grouped checks): the
+    # per-batch-distinct partials are bounded by distinct keys, so small
+    # sets skip the hash exchange's fixed latency; at 10^12-key scale
+    # the count exceeds the threshold and the shuffle path runs
+    union_m = r.union(k).materialize()
+    if fits_driver_merge(union_m):
+        df = union_m.to_pandas()
+        agg = df.groupby("key", sort=False).agg(
+            is_ref=("is_ref", "max"), is_key=("is_key", "max")).reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        return ray.data.from_arrow(missing(t))
+
+    merged = coalesce_partials(union_m).groupby("key").aggregate(
+        Max("is_ref", alias_name="is_ref"), Max("is_key", alias_name="is_key"))
     return merged.map_batches(missing, batch_format="pyarrow")
 
 

@@ -234,11 +234,11 @@ def unified_keyed_violations(
     # adaptive final merge: the union of combiner partials is
     # materialized (bounded by distinct keys, spills if huge); small sets
     # merge driver-side, large ones take the one hash exchange
-    from ..pipelines.relational import DRIVER_MERGE_THRESHOLD
+    from ..pipelines.relational import fits_driver_merge
 
     sum_cols = card_cols + mext_cols + dext_cols + ["n_rows"]
     union_m = union.materialize()
-    if union_m.count() <= DRIVER_MERGE_THRESHOLD:
+    if fits_driver_merge(union_m):
         df = union_m.to_pandas()
         agg = df.groupby("key", sort=False).agg(
             {**{c: "sum" for c in sum_cols}, **{m: "max" for m in _MARKERS}}

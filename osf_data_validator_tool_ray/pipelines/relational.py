@@ -34,6 +34,20 @@ from ray.data.aggregate import Count, Max, Min, Sum
 # larger sets take the scale-safe hash exchange.  At 10^12-key scale the
 # threshold is never hit and everything shuffles.
 DRIVER_MERGE_THRESHOLD = 5_000_000
+# ...and a byte bound on top of the row bound: wide partials (long keys,
+# many tagged columns) must not blow the driver heap even under the row
+# threshold
+DRIVER_MERGE_MAX_BYTES = 512 * 1024 * 1024
+
+
+def fits_driver_merge(materialized_ds: "ray.data.Dataset",
+                      threshold: int = DRIVER_MERGE_THRESHOLD) -> bool:
+    """Row- AND byte-gated check for the adaptive driver-merge fast
+    path.  Call only on a materialized Dataset (count/size are O(1))."""
+    if materialized_ds.count() > threshold:
+        return False
+    size = materialized_ds.size_bytes()
+    return size is None or size <= DRIVER_MERGE_MAX_BYTES
 
 
 def filter_rows(
@@ -91,7 +105,7 @@ def group_count_having(
     # adaptive final merge (see coalesce_partials docstring): combiner
     # output size is known post-materialize; small partial sets merge
     # driver-side instead of paying a sort-exchange's fixed latency
-    if partials.count() <= DRIVER_MERGE_THRESHOLD:
+    if fits_driver_merge(partials):
         df = partials.to_pandas()
         agg = df.groupby(keys, sort=False, dropna=False)["_pn"].sum() \
                 .rename(count_alias).reset_index()
@@ -127,7 +141,7 @@ def existential_missing(
         m = t.column("_sat").to_numpy(zero_copy_only=False) == 0
         return t.filter(pa.array(m)).select([key])
 
-    if partials.count() <= DRIVER_MERGE_THRESHOLD:
+    if fits_driver_merge(partials):
         df = partials.to_pandas()
         agg = df.groupby(key, sort=False, dropna=False)["_sat"].sum().reset_index()
         t = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
@@ -157,7 +171,7 @@ def adaptive_groupby_apply(
 
     keylist = [keys] if isinstance(keys, str) else list(keys)
     mat = ds.materialize()
-    if mat.count() <= threshold:
+    if fits_driver_merge(mat, threshold):
         df = mat.to_pandas()
         probe = fn(df.iloc[:0]) if len(df) else pd.DataFrame()
         if skip_singletons and len(df):
@@ -182,7 +196,7 @@ def _adaptive_dedup_agg(
     from ray.data.aggregate import Max as _Max, Min as _Min
 
     mat = ds.materialize()
-    if mat.count() <= threshold:
+    if fits_driver_merge(mat, threshold):
         df = mat.to_pandas()
         if len(df) == 0:
             return mat
@@ -190,6 +204,58 @@ def _adaptive_dedup_agg(
         return ray.data.from_pandas(agg)
     agg_cls = _Max if how == "max" else _Min
     return mat.groupby(keys).aggregate(agg_cls(value_col, alias_name=value_col))
+
+
+def grouped_agg(
+    ds: "ray.data.Dataset",
+    keys: "str | list[str]",
+    specs: dict[str, tuple[str, str]],
+    threshold: int = DRIVER_MERGE_THRESHOLD,
+) -> "ray.data.Dataset":
+    """GROUP BY ``keys`` with per-batch combiner partials (the two-phase
+    pattern): each block pre-aggregates, so the exchange/merge moves one
+    row per (key, block), not per input row.
+
+    ``specs``: out_col -> (in_col, fn) with fn in {'count','sum','min',
+    'max'}; 'count' counts rows (in_col ignored).  Means are derived by
+    the caller from count+sum.  Small partial sets (low-cardinality
+    keys) merge on the driver; large ones take ONE hash exchange.
+    """
+    keylist = [keys] if isinstance(keys, str) else list(keys)
+    in_cols = sorted({c for c, fn in specs.values() if fn != "count"}
+                     | set(keylist))
+    # partial fn per output column; count partials re-merge with sum
+    part_fns = {out: (c, "size" if fn == "count" else fn)
+                for out, (c, fn) in specs.items()}
+    merge_fns = {out: ("sum" if fn == "count" else fn)
+                 for out, (c, fn) in specs.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([c for c in in_cols if c in batch.column_names]) \
+            .to_pandas()
+        g = df.groupby(keylist, sort=False, dropna=False)
+        agg = g.agg(**{out: (c if fn != "size" else keylist[0], fn)
+                       for out, (c, fn) in part_fns.items()}).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ..checks.cardinality import coalesce_partials
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    if fits_driver_merge(partials, threshold):
+        df = partials.to_pandas()
+        out = df.groupby(keylist, sort=False, dropna=False).agg(
+            **{o: (o, fn) for o, fn in merge_fns.items()}).reset_index()
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False)
+            .replace_schema_metadata(None))
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+    agg_cls = {"sum": _Sum, "min": _Min, "max": _Max}
+    aggs = [agg_cls[fn](o, alias_name=o) for o, fn in merge_fns.items()]
+    return coalesce_partials(partials) \
+        .groupby(keys if len(keylist) > 1 else keylist[0]).aggregate(*aggs)
 
 
 def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":

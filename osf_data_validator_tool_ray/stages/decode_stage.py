@@ -389,7 +389,9 @@ def existential_violations_from_partials(
         return make_violations("SOME-100", keys[m], "decodable_bytes", n[m],
                                expected="some row satisfies decodable_bytes")
 
-    if partials.count() <= driver_merge_threshold:
+    from ..pipelines.relational import fits_driver_merge
+    partials = partials.materialize()
+    if fits_driver_merge(partials, driver_merge_threshold):
         df = partials.to_pandas()
         agg = df.groupby("key", sort=False)["_ext_n"].sum().reset_index()
         t = pa.table({"key": pa.array(agg["key"].astype(object), type=pa.string()),
