@@ -461,6 +461,61 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_sliding_windows(sf_dir: str):
+    """Hopping-window aggregate (90s window, 30s slide): each event in 3
+    windows; two-phase grouped aggregate over the expanded rows."""
+    from osf_data_validator_tool_ray.pipelines.streaming import sliding_windows
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    agg = sliding_windows(ds, "user_id", "ts", window_s=90, slide_s=30,
+                          value_col="value")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("sum_value").to_numpy(zero_copy_only=False)
+                     * 100.0) / 100.0
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                            pa.array(v, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_deterministic_sample(sf_dir: str):
+    """Stable ~10% sample of documents via Knuth multiplicative hash —
+    reproducible across runs/partitionings, SQL-expressible."""
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        deterministic_sample)
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return deterministic_sample(ds, "doc_id", permille=100)
+
+
+def _q_text_normalize(sf_dir: str):
+    """Corpus text normalization: lowercase + collapse whitespace + trim."""
+    from osf_data_validator_tool_ray.functions.text import normalize_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t.column("text").to_pandas())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "norm": pa.array(norm, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _q_pattern_scan(sf_dir: str):
+    """Per-doc marker-pattern occurrence counts (contamination / PII-scan
+    shape): regex count inside map_batches, RE2-compatible pattern shared
+    with the DuckDB oracle."""
+    from osf_data_validator_tool_ray.functions.text import pattern_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"\b(?:data|table|value)\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pattern_counts(t.column("text").to_pandas(), pat)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_hits": pa.array(n, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def _q_restriction_lexical(sf_dir: str):
     """Per-restriction lexical validation (CARD-MAX-102, the MAX-102
     dataRange analog — CheckOwlRestrictionMax.php:535-549): values
@@ -575,6 +630,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
         "restriction_lexical": _q_restriction_lexical,
+        "sliding_windows": _q_sliding_windows,
+        "deterministic_sample": _q_deterministic_sample,
+        "text_normalize": _q_text_normalize,
+        "pattern_scan": _q_pattern_scan,
     }
 
 
@@ -715,6 +774,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS key, text AS observed
             FROM documents
             WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 450
+        """,
+        "sliding_windows": """
+            SELECT user_id, window_id, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM (
+                SELECT user_id, value,
+                       UNNEST(generate_series(
+                           ((epoch_us(ts) - 90000000)
+                            - ((epoch_us(ts) - 90000000) % 30000000)) // 30000000 + 1,
+                           (epoch_us(ts) - (epoch_us(ts) % 30000000)) // 30000000
+                       )) AS window_id
+                FROM events)
+            GROUP BY user_id, window_id
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents
+        """,
+        "pattern_scan": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(
+                       text, '\\b(?:data|table|value)\\b')) AS BIGINT) AS n_hits
+            FROM documents
         """,
         "ann_topk": """
             WITH q AS (

@@ -226,3 +226,21 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
         return np.unique([h.min()]).astype(np.uint64)
     sw = np.lib.stride_tricks.sliding_window_view(h, window)
     return np.unique(sw.min(axis=1)).astype(np.uint64)
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text(texts: pd.Series) -> pd.Series:
+    """Canonical text cleanup for training corpora: lowercase, collapse
+    all whitespace runs to single spaces, strip ends.  Vectorized pandas
+    str kernels; ASCII-equivalent to SQL
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))."""
+    return texts.str.replace(_WS_RE, " ", regex=True).str.strip().str.lower()
+
+
+def pattern_counts(texts: pd.Series, pattern: str) -> np.ndarray:
+    """Occurrences of a regex per text (PII scans, marker detection).
+    Python re and DuckDB regexp_extract_all agree on the shared
+    ASCII-regex subset used by the driver oracle."""
+    return texts.str.count(pattern).fillna(0).to_numpy(dtype=np.int64)

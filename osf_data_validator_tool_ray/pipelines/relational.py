@@ -206,6 +206,28 @@ def _adaptive_dedup_agg(
     return mat.groupby(keys).aggregate(agg_cls(value_col, alias_name=value_col))
 
 
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    permille: int,
+    knuth: int = 2654435761,
+    mod: int = 1 << 32,
+) -> "ray.data.Dataset":
+    """Reproducible ~permille/1000 row sample keyed on an integer id
+    (Knuth multiplicative hash).  Unlike random_sample this is STABLE
+    across runs, partitionings and engines — the same rows are selected
+    every time, and the selection is expressible in SQL for the oracle:
+    ((id * knuth) % mod) % 1000 < permille.  Per-batch vectorized filter,
+    no shuffle, no driver work."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids * np.int64(knuth)) % np.int64(mod)
+        return t.filter(pa.array((h % 1000) < permille))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_agg(
     ds: "ray.data.Dataset",
     keys: "str | list[str]",

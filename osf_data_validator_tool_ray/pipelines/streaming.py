@@ -62,6 +62,51 @@ def tumbling_window(
     return windowed.groupby([key, "window_id"]).aggregate(*aggs)
 
 
+def sliding_windows(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    window_s: int,
+    slide_s: int,
+    value_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Hopping-window aggregate: window w covers [w*slide, w*slide+window);
+    each event lands in ceil(window/slide) windows.  Per-batch numpy
+    expansion (flat_map shape) feeding the same two-phase grouped
+    aggregate as tumbling_window — the exchange moves per-(key, window)
+    partials, not expanded rows."""
+    from .relational import grouped_agg
+
+    w_us = np.int64(1_000_000) * window_s
+    s_us = np.int64(1_000_000) * slide_s
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # floor semantics for negative epochs, like tumbling_window
+        hi = np.floor_divide(ts, s_us)                 # last window containing ts
+        lo = np.floor_divide(ts - w_us, s_us) + 1      # first window containing ts
+        counts = (hi - lo + 1).astype(np.int64)        # <= ceil(window/slide)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        # vectorized per-row 0..count-1 offsets (no Python loop)
+        offs = (np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        wins = np.repeat(lo, counts) + offs
+        cols = {key: t.column(key).take(pa.array(idx)),
+                "window_id": pa.array(wins, type=pa.int64())}
+        if value_col:
+            cols[value_col] = t.column(value_col).take(pa.array(idx))
+        return pa.table(cols)
+
+    expanded = ds.select_columns(
+        [c for c in dict.fromkeys([key, ts_col] + ([value_col] if value_col else []))]
+    ).map_batches(expand, batch_format="pyarrow", batch_size=None)
+    specs = {"n": (key, "count")}
+    if value_col:
+        specs["sum_value"] = (value_col, "sum")
+    return grouped_agg(expanded, [key, "window_id"], specs)
+
+
 def session_windows(
     ds: "ray.data.Dataset",
     key: str,

@@ -138,3 +138,59 @@ def test_hash_join():
         .sort_values(["k", "lv"]).reset_index(drop=True)
     assert out[["k", "lv", "rv"]].values.tolist() == [
         [1, 10, "a"], [1, 11, "a"], [2, 20, "b"]]
+
+
+def test_sliding_windows_vs_naive():
+    """Hopping windows (w=50s, s=30s — variable events-per-window counts)
+    match a naive per-row expansion."""
+    from osf_data_validator_tool_ray.pipelines.streaming import sliding_windows
+
+    ts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:20",
+                         "2024-01-01 00:00:35", "2024-01-01 00:01:40"])
+    df = pd.DataFrame({"k": ["a", "a", "a", "a"], "ts": ts,
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    got = sliding_windows(ray.data.from_pandas(df), "k", "ts", 50, 30,
+                          value_col="v").to_pandas()
+    # naive: window w covers [w*30, w*30+50)
+    rows = []
+    for _, r in df.iterrows():
+        e = r.ts.value // 1000  # us
+        w = -(10**9)
+        for w in range(int((e - 50_000_000) // 30_000_000) + 1,
+                       int(e // 30_000_000) + 1):
+            rows.append((r.k, w, r.v))
+    want = pd.DataFrame(rows, columns=["k", "window_id", "v"]) \
+        .groupby(["k", "window_id"]).agg(n=("v", "size"), sum_value=("v", "sum")) \
+        .reset_index()
+    key = lambda d: sorted(map(tuple, d[["k", "window_id", "n", "sum_value"]]
+                               .astype(float, errors="ignore").to_numpy().tolist()))
+    g = got[["k", "window_id", "n", "sum_value"]]
+    assert sorted(map(tuple, g.to_numpy().tolist())) == \
+        sorted(map(tuple, want.to_numpy().tolist()))
+
+
+def test_deterministic_sample_stable_across_partitionings():
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        deterministic_sample)
+
+    df = pd.DataFrame({"id": np.arange(1000), "v": np.arange(1000) * 2})
+    a = deterministic_sample(ray.data.from_pandas(df).repartition(2),
+                             "id", 100).to_pandas()
+    b = deterministic_sample(ray.data.from_pandas(df).repartition(7),
+                             "id", 100).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])
+    assert 50 <= len(a) <= 150   # ~10%
+    want = {i for i in range(1000) if ((i * 2654435761) % (1 << 32)) % 1000 < 100}
+    assert set(a["id"]) == want
+
+
+def test_normalize_and_pattern_counts():
+    from osf_data_validator_tool_ray.functions.text import (
+        normalize_text, pattern_counts)
+
+    s = pd.Series(["  Hello\t WORLD \n x ", "data table  DATA", None])
+    n = normalize_text(s)
+    assert n[0] == "hello world x"
+    assert n[1] == "data table data"
+    c = pattern_counts(s, r"\b(?:data|table)\b")
+    assert list(c) == [0, 2, 0]
