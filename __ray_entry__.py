@@ -516,6 +516,61 @@ def _q_pattern_scan(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def _q_broadcast_join_nation(sf_dir: str):
+    """Broadcast (map-side) join: the small customer dimension is
+    ray.put once and merged per batch — no shuffle; then a two-phase
+    grouped aggregate by nation."""
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        broadcast_join, grouped_agg)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.column("c_custkey").cast(pa.int64()),
+                            "c_nationkey": t.column("c_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    j = broadcast_join(orders, cust, "o_custkey")
+    agg = grouped_agg(j, "c_nationkey", {"n_orders": ("o_totalprice", "count"),
+                                         "total": ("o_totalprice", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("total").to_numpy(zero_copy_only=False) * 100.0) / 100.0
+        return pa.table({"c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                         "n_orders": t.column("n_orders").cast(pa.int64()),
+                         "total": pa.array(v, type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_interval_join_sessions(sf_dir: str):
+    """Interval containment join: each event matched to its session's
+    [start, end] range (sessions computed by the engine's gap
+    sessionizer; intervals per key are disjoint by construction)."""
+    from osf_data_validator_tool_ray.pipelines.relational import interval_join
+    from osf_data_validator_tool_ray.pipelines.streaming import session_windows
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sessions = session_windows(events, "user_id", "ts", gap_s=1800)
+
+    def add_us(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": us})
+
+    left = events.map_batches(add_us, batch_format="pyarrow", batch_size=None)
+    j = interval_join(left, sessions, key="user_id", ts_col="ts_us",
+                      start_col="session_start", end_col="session_end",
+                      right_cols=["session_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "session_id": pc.cast(
+                pc.round(t.column("session_id").cast(pa.float64())), pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_restriction_lexical(sf_dir: str):
     """Per-restriction lexical validation (CARD-MAX-102, the MAX-102
     dataRange analog — CheckOwlRestrictionMax.php:535-549): values
@@ -634,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": _q_deterministic_sample,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
+        "broadcast_join_nation": _q_broadcast_join_nation,
+        "interval_join_sessions": _q_interval_join_sessions,
     }
 
 
@@ -802,6 +859,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(
                        text, '\\b(?:data|table|value)\\b')) AS BIGINT) AS n_hits
             FROM documents
+        """,
+        "broadcast_join_nation": """
+            SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "interval_join_sessions": """
+            WITH marked AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800 * 1000000
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT event_id, user_id,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM marked
+            )
+            SELECT event_id, user_id, session_id FROM numbered
         """,
         "ann_topk": """
             WITH q AS (

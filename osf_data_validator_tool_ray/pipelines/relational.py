@@ -320,6 +320,122 @@ def distinct_counts(ds: "ray.data.Dataset", columns: Sequence[str]) -> pa.Table:
     return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64()) for c in cols})
 
 
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Small-side join without a shuffle: the ``right`` table is
+    collected once, ``ray.put`` into the object store, and each task
+    merges its batch against the plasma-cached copy — the canonical
+    broadcast pattern for dimension tables (never re-shipped per batch,
+    no all-to-all exchange).  The caller guarantees ``right`` fits in a
+    worker heap; use hash_join for big-big."""
+    import ray as _ray
+
+    rdf = right.to_pandas()
+    ref = _ray.put(rdf)
+
+    class _Merge:
+        def __init__(self):
+            self._rdf = None     # lazy: resolved from local plasma per worker
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._rdf is None:
+                self._rdf = _ray.get(ref)
+            df = t.to_pandas().merge(self._rdf, on=key, how=how)
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+    return left.map_batches(_Merge(), batch_format="pyarrow", batch_size=None)
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Interval (range) containment join: each left row matches the
+    right row of the same key whose [start, end] contains ts.
+
+    Partitioning assumption (documented per SURVEY §2.2 custom
+    operators): intervals of one key are NON-OVERLAPPING (sessions,
+    validity ranges) and one key's rows fit in a worker heap.  One
+    tagged-union hash exchange on ``key``; per-key sorted-starts
+    searchsorted, no per-row Python loop."""
+    lcols = list(left.schema().names)
+    out_rcols = [c for c in right_cols if c not in lcols]
+
+    def _pa_type(typ) -> pa.DataType:
+        if isinstance(typ, pa.DataType):
+            return typ
+        try:
+            return pa.from_numpy_dtype(typ)
+        except pa.ArrowNotImplementedError:
+            return pa.string()
+
+    types: dict[str, pa.DataType] = {"_side": pa.string()}
+    rschema = right.schema()
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in set(out_rcols) | {key, start_col, end_col}:
+            types[name] = _pa_type(typ)
+    lschema = left.schema()
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = _pa_type(typ)
+    all_cols = sorted(set(lcols) | set(out_rcols) | {key, start_col, end_col,
+                                                     "_side"})
+
+    def tag_and_pad(side):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t.select(all_cols)
+        return fn
+
+    out_cols = lcols + out_rcols
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["_side"] == "l"][lcols]
+        if gl.empty:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+                                 for c in out_cols})
+        gr = g[g["_side"] == "r"][[start_col, end_col] + out_rcols] \
+            .sort_values(start_col, kind="stable")
+        ts = gl[ts_col].to_numpy()
+        if gr.empty:
+            idx = np.full(len(gl), -1)
+            hit = np.zeros(len(gl), dtype=bool)
+        else:
+            starts = gr[start_col].to_numpy()
+            ends = gr[end_col].to_numpy()
+            idx = np.searchsorted(starts, ts, side="right") - 1
+            hit = (idx >= 0) & (ts <= ends[np.clip(idx, 0, None)])
+        out = gl.copy()
+        for c in out_rcols:
+            vals = np.full(len(gl), None, dtype=object)
+            if hit.any():
+                vals[hit] = gr[c].to_numpy()[idx[hit]]
+            out[c] = vals
+        if how == "inner":
+            out = out[hit]
+        return out.reindex(columns=out_cols)
+
+    lp = left.map_batches(tag_and_pad("l"), batch_format="pyarrow",
+                          batch_size=None)
+    rp = right.select_columns(
+        list(dict.fromkeys([key, start_col, end_col] + out_rcols))
+    ).map_batches(tag_and_pad("r"), batch_format="pyarrow", batch_size=None)
+    return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -194,3 +194,43 @@ def test_normalize_and_pattern_counts():
     assert n[1] == "data table data"
     c = pattern_counts(s, r"\b(?:data|table)\b")
     assert list(c) == [0, 2, 0]
+
+
+def test_broadcast_join_matches_pandas():
+    from osf_data_validator_tool_ray.pipelines.relational import broadcast_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 9], "lv": list("abcde")})
+    right = pd.DataFrame({"k": [1, 2, 3, 4], "rv": [10, 20, 30, 40]})
+    got = broadcast_join(ray.data.from_pandas(left).repartition(3),
+                         ray.data.from_pandas(right), "k").to_pandas()
+    want = left.merge(right, on="k")
+    key = lambda d: sorted(map(tuple, d[["k", "lv", "rv"]].to_numpy()))
+    assert key(got) == key(want)
+    # left join keeps unmatched left rows
+    got_l = broadcast_join(ray.data.from_pandas(left),
+                           ray.data.from_pandas(right), "k",
+                           how="left").to_pandas()
+    assert len(got_l) == len(left)
+
+
+def test_interval_join_containment():
+    from osf_data_validator_tool_ray.pipelines.relational import interval_join
+
+    left = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                         "ts": [5, 15, 40, 7, 100],
+                         "eid": [0, 1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "a", "b"],
+                          "start": [0, 30, 0],
+                          "end": [20, 50, 10],
+                          "iv": ["a1", "a2", "b1"]})
+    got = interval_join(ray.data.from_pandas(left).repartition(2),
+                        ray.data.from_pandas(right), "k", "ts",
+                        "start", "end", ["iv"]).to_pandas()
+    want = {0: "a1", 1: "a1", 2: "a2", 3: "b1"}   # eid 4 (ts=100) no match
+    assert dict(zip(got["eid"].astype(int), got["iv"])) == want
+    # left join: unmatched row kept with null interval
+    got_l = interval_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right), "k", "ts",
+                          "start", "end", ["iv"], how="left").to_pandas()
+    assert len(got_l) == 5
+    assert got_l[got_l["eid"] == 4]["iv"].isna().all()
