@@ -571,6 +571,45 @@ def _q_interval_join_sessions(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median + p90) of l_quantity by
+    returnflag — linear interpolation matching SQL quantile_cont."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_quantiles
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = group_quantiles(ds, "l_returnflag", "l_quantity", [0.5, 0.9],
+                          aliases=["q50", "q90"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "q50": pa.array(np.round(
+                t.column("q50").to_numpy(zero_copy_only=False), 6)),
+            "q90": pa.array(np.round(
+                t.column("q90").to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_lag_deltas(sf_dir: str):
+    """Per-user inter-event time + value deltas (LAG-feature extraction),
+    group-local sort by (ts, event_id)."""
+    from osf_data_validator_tool_ray.pipelines.streaming import lag_deltas
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = lag_deltas(ds, "user_id", "ts", "event_id", value_col="value")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dv = np.round(t.column("delta_value").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "delta_us": t.column("delta_us").cast(pa.float64()),
+            "delta_value": pa.array(dv, type=pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_restriction_lexical(sf_dir: str):
     """Per-restriction lexical validation (CARD-MAX-102, the MAX-102
     dataRange analog — CheckOwlRestrictionMax.php:535-549): values
@@ -691,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scan": _q_pattern_scan,
         "broadcast_join_nation": _q_broadcast_join_nation,
         "interval_join_sessions": _q_interval_join_sessions,
+        "group_quantiles": _q_group_quantiles,
+        "lag_deltas": _q_lag_deltas,
     }
 
 
@@ -883,6 +924,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM marked
             )
             SELECT event_id, user_id, session_id FROM numbered
+        """,
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(l_quantity, 0.9), 6) AS q90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "lag_deltas": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE)
+                       AS delta_us,
+                   ROUND(value - lag(value) OVER w, 6) AS delta_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "ann_topk": """
             WITH q AS (

@@ -206,6 +206,34 @@ def _adaptive_dedup_agg(
     return mat.groupby(keys).aggregate(agg_cls(value_col, alias_name=value_col))
 
 
+def group_quantiles(
+    ds: "ray.data.Dataset",
+    key: "str | list[str]",
+    value_col: str,
+    qs: Sequence[float],
+    aliases: Optional[Sequence[str]] = None,
+) -> "ray.data.Dataset":
+    """Exact per-group quantiles (linear interpolation — matches SQL
+    quantile_cont).  Exact quantiles need each group's full value set, so
+    this shuffles rows by key (one-key-fits-heap assumption, like
+    topk_per_group); the approximate no-shuffle tier for unbounded
+    groups is functions.sketches.StreamHist."""
+    keylist = [key] if isinstance(key, str) else list(key)
+    names = list(aliases) if aliases else [f"q{int(q * 100)}" for q in qs]
+    qarr = list(qs)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].dropna().to_numpy(dtype=np.float64)
+        row = {k: [g[k].iloc[0]] for k in keylist}
+        for name, q in zip(names, qarr):
+            row[name] = [float(np.quantile(vals, q)) if len(vals) else None]
+        return pd.DataFrame(row)
+
+    return ds.select_columns(keylist + [value_col]).groupby(
+        key if len(keylist) > 1 else keylist[0]).map_groups(
+        per_group, batch_format="pandas")
+
+
 def deterministic_sample(
     ds: "ray.data.Dataset",
     id_col: str,

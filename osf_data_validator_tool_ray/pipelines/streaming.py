@@ -224,6 +224,36 @@ def asof_join(
     return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def lag_deltas(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    id_col: str,
+    value_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Per-key LAG features: time delta (microseconds) and value delta
+    vs the previous row in (ts, id) order — inter-event-time /
+    rate-of-change feature extraction.  Group-local sort only (no global
+    sort); first row of each key gets null deltas."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="stable")
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            key: g[key].to_numpy()})
+        d = np.diff(ts).astype("float64")
+        out["delta_us"] = np.concatenate([[np.nan], d])
+        if value_col is not None:
+            v = g[value_col].to_numpy(dtype=np.float64)
+            out["delta_value"] = np.concatenate([[np.nan], np.diff(v)])
+        return out
+
+    cols = [c for c in dict.fromkeys(
+        [key, ts_col, id_col] + ([value_col] if value_col else []))]
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_key, batch_format="pandas")
+
+
 def topk_per_group(
     ds: "ray.data.Dataset",
     key: str,

@@ -234,3 +234,36 @@ def test_interval_join_containment():
                           "start", "end", ["iv"], how="left").to_pandas()
     assert len(got_l) == 5
     assert got_l[got_l["eid"] == 4]["iv"].isna().all()
+
+
+def test_group_quantiles_vs_numpy():
+    from osf_data_validator_tool_ray.pipelines.relational import group_quantiles
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 200),
+                       "v": rng.uniform(0, 100, 200)})
+    got = group_quantiles(ray.data.from_pandas(df).repartition(3), "k", "v",
+                          [0.25, 0.5], aliases=["q25", "q50"]).to_pandas() \
+        .set_index("k")
+    for k in ("x", "y"):
+        vals = df[df.k == k]["v"].to_numpy()
+        assert abs(got.loc[k, "q25"] - np.quantile(vals, 0.25)) < 1e-12
+        assert abs(got.loc[k, "q50"] - np.quantile(vals, 0.5)) < 1e-12
+
+
+def test_lag_deltas():
+    from osf_data_validator_tool_ray.pipelines.streaming import lag_deltas
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                         "2024-01-01 00:01:00", "2024-01-01 00:00:05"])
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "ts": ts,
+                       "id": [10, 11, 12, 13],
+                       "v": [1.0, 3.0, 2.0, 9.0]})
+    got = lag_deltas(ray.data.from_pandas(df), "k", "ts", "id",
+                     value_col="v").to_pandas().set_index("id")
+    assert np.isnan(got.loc[10, "delta_us"])
+    assert got.loc[11, "delta_us"] == 10_000_000
+    assert got.loc[12, "delta_us"] == 50_000_000
+    assert got.loc[11, "delta_value"] == 2.0
+    assert got.loc[12, "delta_value"] == -1.0
+    assert np.isnan(got.loc[13, "delta_us"])   # first of its key
