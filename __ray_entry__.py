@@ -610,6 +610,27 @@ def _q_lag_deltas(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_drift_check(sf_dir: str):
+    """KS/PSI distribution drift (DRIFT-100; no SQL oracle — sketch
+    comparison): baseline profile of lineitem vs a deliberately shifted
+    current slice (l_quantity > 25), per-block sketch partials merged
+    driver-side, no shuffle.  Returns the drifted columns."""
+    from osf_data_validator_tool_ray.checks.drift import (
+        build_profile, drift_violations)
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"]
+    base = build_profile(_read(sf_dir, "lineitem", cols),
+                         ["l_quantity", "l_extendedprice"], ["l_returnflag"],
+                         ["l_orderkey"])
+    cur_ds = _read(sf_dir, "lineitem", cols).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 25.0)),
+        batch_format="pyarrow", batch_size=None)
+    cur = build_profile(cur_ds, ["l_quantity", "l_extendedprice"],
+                        ["l_returnflag"], ["l_orderkey"])
+    v = drift_violations(cur, base)
+    return v.select(["check_id", "column"]).to_pandas() \
+        .sort_values(["check_id", "column"]).reset_index(drop=True)
+
+
 def _q_restriction_lexical(sf_dir: str):
     """Per-restriction lexical validation (CARD-MAX-102, the MAX-102
     dataRange analog — CheckOwlRestrictionMax.php:535-549): values
@@ -732,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_sessions": _q_interval_join_sessions,
         "group_quantiles": _q_group_quantiles,
         "lag_deltas": _q_lag_deltas,
+        "drift_check": _q_drift_check,
     }
 
 
