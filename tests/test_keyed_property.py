@@ -54,3 +54,28 @@ def test_unified_matches_pandas_oracle(keys, ref_keys, max_count, min_count, npa
     if refs_ds is None:
         want["REF-EXISTENCE-100"] = set()
     assert got == want, (got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.floats(-100, 100)),
+             min_size=1, max_size=80),
+    st.integers(1, 4),
+)
+def test_grouped_agg_matches_pandas(rows, nparts):
+    """grouped_agg (two-phase combiner) == plain pandas groupby for
+    count/sum/min/max on random tables and partitionings."""
+    from osf_data_validator_tool_ray.pipelines.relational import grouped_agg
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    ds = ray.data.from_pandas(df).repartition(nparts)
+    got = grouped_agg(ds, "k", {"n": ("v", "count"), "s": ("v", "sum"),
+                                "lo": ("v", "min"), "hi": ("v", "max")}) \
+        .to_pandas().set_index("k").sort_index()
+    want = df.groupby("k").agg(n=("v", "size"), s=("v", "sum"),
+                               lo=("v", "min"), hi=("v", "max")).sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["s"].to_numpy(), want["s"].to_numpy())
+    assert np.allclose(got["lo"].to_numpy(), want["lo"].to_numpy())
+    assert np.allclose(got["hi"].to_numpy(), want["hi"].to_numpy())
