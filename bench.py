@@ -109,10 +109,16 @@ def bench_partitioned(meta: dict) -> dict:
     from osf_data_validator_tool_ray.spec import clips_spec
     from osf_data_validator_tool_ray.state.checkpoint import CheckpointStore
 
+    # one untimed warm run (worker pool, page cache, code paths), same
+    # policy as bench_clips_suite — the timed run measures the pipeline
+    warm = tempfile.mkdtemp(prefix="osfdvt_bench_partw_")
+    validate_partitioned(meta["clips_dir"] + "/*.parquet", clips_spec(),
+                         CheckpointStore(warm), decode=True)
+    shutil.rmtree(warm, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="osfdvt_bench_part_")
     t0 = time.time()
     rep = validate_partitioned(meta["clips_dir"] + "/*.parquet", clips_spec(),
-                               CheckpointStore(root), decode=True, max_inflight=4)
+                               CheckpointStore(root), decode=True)
     dt = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
     return {"sec": dt, "n_rows": rep["n_rows"]}
