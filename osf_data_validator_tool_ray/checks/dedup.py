@@ -175,11 +175,139 @@ def minhash_near_dup_pairs(
                 ia.append(a); ib.append(b); js.append(float(eq[j]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": js})
 
-    from ..pipelines.relational import adaptive_groupby_apply, _adaptive_dedup_agg
-    pairs = adaptive_groupby_apply(banded, ["band_id", "band_key"], bucket_pairs,
+    from ..pipelines.relational import fits_driver_merge
+    mat = banded.materialize()
+    if fits_driver_merge(mat):
+        # driver fast path: numpy bucket slices, no per-bucket pandas
+        df = mat.to_pandas()
+        sig_mat = (np.frombuffer(b"".join(df["sig"]), dtype=np.uint64)
+                   .reshape(len(df), num_perm) if len(df) else
+                   np.empty((0, num_perm), dtype=np.uint64))
+        ia, ib, sc = _vector_bucket_pairs(
+            df, ["band_id", "band_key"], "doc_id", sig_mat,
+            lambda sa, sb: (sa == sb).mean(axis=-1),
+            lambda s: s >= threshold, max_bucket_pairs,
+            "minhash_near_dup_pairs")
+        pairs = pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": sc})
+        if len(pairs):
+            pairs = pairs.groupby(["id_a", "id_b"], sort=False)["est_jaccard"] \
+                .max().reset_index()
+        return ray.data.from_pandas(pairs)
+    return _bucket_pairs_adaptive(mat, ["band_id", "band_key"],
+                                  bucket_pairs, "est_jaccard", "max")
+
+
+def _vector_bucket_pairs(
+    df: "pd.DataFrame",
+    key_cols: list[str],
+    id_col: str,
+    sig_mat: np.ndarray,
+    pair_score,
+    keep,
+    max_bucket_pairs: int,
+    op_name: str,
+):
+    """Driver fast path for banded candidate generation: one lexsort,
+    bucket boundaries from key changes, per-bucket numpy slice pairing —
+    no per-bucket pandas frames (10k+ tiny buckets would pay ~0.3ms of
+    pandas overhead each).  pair_score((P,d),(P,d))->scores;
+    keep(scores)->mask.  Returns (id_a, id_b, score) arrays, id_a<id_b."""
+    import logging
+
+    arrs = [df[c].to_numpy() for c in key_cols]
+    order = np.lexsort(arrs[::-1])
+    ids = df[id_col].to_numpy()[order]
+    sig = sig_mat[order]
+    karrs = [a[order] for a in arrs]
+    if len(ids) > 1:
+        change = np.zeros(len(ids) - 1, dtype=bool)
+        for a in karrs:
+            change |= a[1:] != a[:-1]
+        bnd = np.flatnonzero(change) + 1
+    else:
+        bnd = np.array([], dtype=np.int64)
+    starts = np.concatenate([[0], bnd]).astype(np.int64)
+    ends = np.concatenate([bnd, [len(ids)]]).astype(np.int64)
+    sizes = ends - starts
+    big = sizes * (sizes - 1) // 2 > max_bucket_pairs
+    ia_all, ib_all, sc_all = [], [], []
+
+    def emit(a: np.ndarray, b: np.ndarray, sc: np.ndarray) -> None:
+        m = keep(sc)
+        if m.any():
+            a, b, sc = a[m], b[m], sc[m]
+            swap = b < a
+            ia_all.append(np.where(swap, b, a))
+            ib_all.append(np.where(swap, a, b))
+            sc_all.append(sc)
+
+    # all same-size buckets at once: (G, s, d) signature blocks, one
+    # vectorized score over every pair of every bucket of that size
+    for s_val in np.unique(sizes[(sizes >= 2) & ~big]):
+        sel = np.flatnonzero((sizes == s_val) & ~big)
+        idx = starts[sel][:, None] + np.arange(s_val)[None, :]
+        iu0, iu1 = np.triu_indices(int(s_val), 1)
+        sig_g = sig[idx]                       # (G, s, d)
+        sc = pair_score(sig_g[:, iu0, :], sig_g[:, iu1, :])   # (G, P)
+        ids_g = ids[idx]
+        emit(ids_g[:, iu0].ravel(), ids_g[:, iu1].ravel(), sc.ravel())
+
+    # pathological buckets: truncate loudly, handle individually
+    for gi in np.flatnonzero(big):
+        s, n = int(starts[gi]), int(sizes[gi])
+        kept = int((2 * max_bucket_pairs) ** 0.5) + 1
+        logging.getLogger("osf_data_validator_tool_ray.dedup").warning(
+            "%s: bucket of %d docs truncated to %d "
+            "(%d candidate pairs dropped)", op_name, n, kept,
+            n * (n - 1) // 2 - kept * (kept - 1) // 2)
+        e = s + kept
+        iu0, iu1 = np.triu_indices(kept, 1)
+        sc = pair_score(sig[s:e][iu0], sig[s:e][iu1])
+        emit(ids[s:e][iu0], ids[s:e][iu1], sc)
+
+    if not ia_all:
+        return (np.array([], dtype=ids.dtype), np.array([], dtype=ids.dtype),
+                np.array([], dtype=np.float64))
+    return (np.concatenate(ia_all), np.concatenate(ib_all),
+            np.concatenate(sc_all))
+
+
+def _bucket_pairs_adaptive(
+    banded: "ray.data.Dataset",
+    group_keys: list[str],
+    bucket_fn,
+    val_col: str,
+    how: str,
+) -> "ray.data.Dataset":
+    """Bucket → candidate pairs → cross-bucket pair dedup.
+
+    Small banded tables (row+byte-gated) run the whole chain in ONE
+    driver pass (no object-store round trips between the bucket stage
+    and the dedup aggregate); large ones take the distributed
+    groupby(bucket).map_groups + pair-dedup exchange."""
+    from ..pipelines.relational import (_adaptive_dedup_agg,
+                                        adaptive_groupby_apply,
+                                        fits_driver_merge)
+
+    mat = banded.materialize()
+    if fits_driver_merge(mat):
+        df = mat.to_pandas()
+        probe = bucket_fn(df.iloc[:0]) if len(df) else pd.DataFrame()
+        if len(df):
+            df = df[df.groupby(group_keys, sort=False)[group_keys[0]]
+                    .transform("size") > 1]
+        out = ([bucket_fn(g) for _, g in df.groupby(group_keys, sort=False)]
+               if len(df) else [])
+        out = [o for o in out if len(o)]
+        if not out:
+            return ray.data.from_pandas(probe)
+        pairs = pd.concat(out, ignore_index=True)
+        agg = pairs.groupby(["id_a", "id_b"], sort=False)[val_col] \
+            .agg(how).reset_index()
+        return ray.data.from_pandas(agg)
+    pairs = adaptive_groupby_apply(mat, group_keys, bucket_fn,
                                    skip_singletons=True)
-    # dedup identical pairs discovered in multiple bands (keep max estimate)
-    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], "est_jaccard", "max")
+    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], val_col, how)
 
 
 def near_dup_clusters(
@@ -491,8 +619,21 @@ def simhash_near_dup_pairs(
                 ia.append(a); ib.append(b); hs.append(int(np.atleast_1d(ham)[j]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hs})
 
-    from ..pipelines.relational import adaptive_groupby_apply, _adaptive_dedup_agg
-    pairs = adaptive_groupby_apply(
-        sigs.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_val"], bucket_pairs, skip_singletons=True)
-    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], "hamming", "min")
+    from ..pipelines.relational import fits_driver_merge
+    mat = sigs.map_batches(explode, batch_format="pyarrow").materialize()
+    if fits_driver_merge(mat):
+        df = mat.to_pandas()
+        sig_mat = df["simhash"].to_numpy().astype(np.uint64).reshape(-1, 1)
+        ia, ib, sc = _vector_bucket_pairs(
+            df, ["band_id", "band_val"], "doc_id", sig_mat,
+            lambda sa, sb: T.hamming64(sa.ravel(), sb.ravel())
+            .astype(np.float64).reshape(sa.shape[:-1]),
+            lambda s: s <= max_hamming, 10_000, "simhash_near_dup_pairs")
+        pairs = pd.DataFrame({"id_a": ia, "id_b": ib,
+                              "hamming": sc.astype(np.int64)})
+        if len(pairs):
+            pairs = pairs.groupby(["id_a", "id_b"], sort=False)["hamming"] \
+                .min().reset_index()
+        return ray.data.from_pandas(pairs)
+    return _bucket_pairs_adaptive(
+        mat, ["band_id", "band_val"], bucket_pairs, "hamming", "min")

@@ -215,9 +215,8 @@ def embedding_near_dup_pairs(
         b2 = np.where(swap, a, b)
         return pd.DataFrame({"id_a": a2, "id_b": b2, "cosine": s[iu][hit].astype(np.float64)})
 
-    from ..pipelines.relational import _adaptive_dedup_agg, adaptive_groupby_apply
+    from ..checks.dedup import _bucket_pairs_adaptive
     assigned = ds.select_columns([emb_col, id_col]).map_batches(
         assign, batch_format="pyarrow")
-    pairs = adaptive_groupby_apply(assigned, "bucket", bucket_pairs,
-                                   skip_singletons=True)
-    return _adaptive_dedup_agg(pairs, ["id_a", "id_b"], "cosine", "max")
+    return _bucket_pairs_adaptive(assigned, ["bucket"], bucket_pairs,
+                                  "cosine", "max")
