@@ -87,15 +87,23 @@ def ann_topk_bruteforce(
 ) -> pa.Table:
     """Exact cosine top-k: distributed partial top-k per batch, merged on
     the driver (merge size = num_batches*nq*k rows — tiny)."""
-    query_ref = ray.put(np.asarray(queries, dtype=np.float32))
-    partials = ds.select_columns([emb_col, id_col]).map_batches(
-        _TopKStage, batch_format="pyarrow",
-        fn_constructor_args=(emb_col, id_col, query_ref, k),
-        # autoscaling floor of 1 never starves the read stage; the
-        # ceiling tracks cluster CPUs so a 32-core node (or a fleet)
-        # isn't capped at a fixed 4 workers
-        concurrency=(1, _cluster_cpus()),
-    )
+    q = np.asarray(queries, dtype=np.float32)
+    if q.nbytes <= 1 << 20:
+        # small query matrix: ship it inside the task fn (serialized once
+        # into the object store with the function) and run as tasks in
+        # Ray's warm worker pool — no actor-pool spin-up per execution
+        partials = ds.select_columns([emb_col, id_col]).map_batches(
+            _TopKStage(emb_col, id_col, q, k), batch_format="pyarrow")
+    else:
+        # big query matrix: broadcast via ray.put, actor pool resolves it
+        # once per actor; ceiling tracks cluster CPUs so a 32-core node
+        # (or a fleet) isn't capped at a fixed worker count
+        query_ref = ray.put(q)
+        partials = ds.select_columns([emb_col, id_col]).map_batches(
+            _TopKStage, batch_format="pyarrow",
+            fn_constructor_args=(emb_col, id_col, query_ref, k),
+            concurrency=(1, _cluster_cpus()),
+        )
     df = partials.to_pandas()
     out = (
         df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
