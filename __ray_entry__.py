@@ -610,6 +610,23 @@ def _q_lag_deltas(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_text_embed_ann(sf_dir: str):
+    """Batched model-inference stage + ANN compose: embed documents
+    (deterministic stand-in encoder; model "loads" once per worker) then
+    brute-force cosine top-3 for the first 2 docs as queries.  No SQL
+    oracle (model scoring); determinism + recall gated in pytest."""
+    from osf_data_validator_tool_ray.checks.similarity import ann_topk_bruteforce
+    from osf_data_validator_tool_ray.stages.embed_stage import embed_text
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_text(docs).materialize()
+    first = emb.take(2)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in first])
+    top = ann_topk_bruteforce(emb, "embedding", "doc_id", q, k=3)
+    df = top.to_pandas()
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_drift_check(sf_dir: str):
     """KS/PSI distribution drift (DRIFT-100; no SQL oracle — sketch
     comparison): baseline profile of lineitem vs a deliberately shifted
@@ -754,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "lag_deltas": _q_lag_deltas,
         "drift_check": _q_drift_check,
+        "text_embed_ann": _q_text_embed_ann,
     }
 
 
