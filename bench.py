@@ -82,19 +82,24 @@ def bench_clips_suite(meta: dict) -> dict:
 
 
 def bench_tpch_checks(sf_dir: str) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     names = ["facet_bounds", "card_max", "card_exact", "existential_missing",
              "universal_counterexamples", "ri_missing", "group_stats",
              "distinct_counts"]
-    t0 = time.time()
-    total_rows = 0
-    for name in names:
+
+    def run_one(name: str) -> int:
         res = qs[name](sf_dir)
-        if hasattr(res, "count"):
-            total_rows += res.count()
-        else:
-            total_rows += len(res)
+        return res.count() if hasattr(res, "count") else len(res)
+
+    # the 8 checks are independent pipelines over the same table: drive
+    # them a few at a time so their fixed planning/scheduling latencies
+    # overlap (cluster-side work is unchanged; Ray shares the CPU pool)
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        total_rows = sum(ex.map(run_one, names))
     return {"sec": time.time() - t0, "result_rows": total_rows}
 
 
