@@ -627,6 +627,18 @@ def _q_text_embed_ann(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_corpus_curation(sf_dir: str):
+    """End-to-end corpus curation (normalize -> quality gate -> exact
+    dedup -> MinHash near-dedup w/ connected components -> survivors).
+    No SQL oracle (LSH not SQL-expressible); deterministic survivor set,
+    stage parity covered in pytest."""
+    from osf_data_validator_tool_ray.pipelines.corpus import curate_corpus
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = curate_corpus(docs, near_dup_threshold=0.5)
+    out = res["docs"].to_pandas()[["doc_id"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
 def _q_drift_check(sf_dir: str):
     """KS/PSI distribution drift (DRIFT-100; no SQL oracle — sketch
     comparison): baseline profile of lineitem vs a deliberately shifted
@@ -772,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": _q_lag_deltas,
         "drift_check": _q_drift_check,
         "text_embed_ann": _q_text_embed_ann,
+        "corpus_curation": _q_corpus_curation,
     }
 
 

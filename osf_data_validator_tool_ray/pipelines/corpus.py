@@ -1,0 +1,110 @@
+"""End-to-end training-corpus curation — the composition story.
+
+One call chains the engine's training-data operators the way a corpus
+job would run them at 100 TB, each stage streaming Ray-Data-first:
+
+  1. normalize      — lowercase/collapse-ws/trim (map_batches)
+  2. quality filter — min length / max stopword ratio (vectorized mask)
+  3. exact dedup    — content-hash keep-first (combiner + one groupby)
+  4. near dedup     — MinHash+LSH pairs -> connected components ->
+                      keep cluster heads (banded, no all-pairs)
+  5. sample         — deterministic Knuth-hash row sample (reproducible)
+  6. embed          — batched model-inference stage (optional)
+
+Survivor filtering uses broadcast id-sets (ray.put once, probe per
+batch with pc.is_in) — candidate/dup id sets are small relative to the
+corpus by construction (dup rate bounds them), the same contract as
+checks/referential.py's broadcast regime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    max_stop_ratio: float = 0.9,
+    near_dup_threshold: float = 0.7,
+    sample_permille: Optional[int] = None,
+    embed_dim: Optional[int] = None,
+) -> dict:
+    """Returns {"docs": curated Dataset, "stats": {...}} (plus
+    "embeddings" when embed_dim is set)."""
+    from ..checks.dedup import (exact_dedup_groups, minhash_near_dup_pairs,
+                                near_dup_clusters)
+    from ..functions.text import normalize_text, quality_features
+
+    stats: dict = {"n_input": ds.count()}
+
+    def clean(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pandas()
+        norm = normalize_text(texts)
+        q = quality_features(norm)
+        keep = ((q["n_chars"].to_numpy() >= min_chars)
+                & (q["stop_ratio"].to_numpy() <= max_stop_ratio)
+                & norm.notna().to_numpy(dtype=bool))
+        out = t.set_column(t.schema.get_field_index(text_col), text_col,
+                           pa.array(norm, type=pa.string()))
+        return out.filter(pa.array(keep))
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    stats["n_after_quality"] = cleaned.count()
+
+    # exact dedup: keep-first ids, broadcast the keep set
+    groups = exact_dedup_groups(cleaned, text_col, id_col)
+    keep_ids = set(groups.to_pandas()["keep_id"])
+    stats["n_exact_dup_rows"] = stats["n_after_quality"] - len(keep_ids)
+    keep_ref = ray.put(keep_ids)
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        wanted = ray.get(keep_ref)
+        m = t.column(id_col).to_pandas().isin(wanted).to_numpy(dtype=bool)
+        return t.filter(pa.array(m))
+
+    exact_unique = cleaned.map_batches(keep_only, batch_format="pyarrow",
+                                       batch_size=None).materialize()
+
+    # near dedup: LSH candidates -> components -> drop non-heads
+    pairs = minhash_near_dup_pairs(exact_unique, text_col, id_col,
+                                   threshold=near_dup_threshold)
+    clusters = near_dup_clusters(pairs).to_pandas()
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"])
+    stats["n_near_dup_rows"] = len(drop)
+    drop_ref = ray.put(drop)
+
+    def drop_near(t: pa.Table) -> pa.Table:
+        bad = ray.get(drop_ref)
+        if not bad:
+            return t
+        m = ~t.column(id_col).to_pandas().isin(bad).to_numpy(dtype=bool)
+        return t.filter(pa.array(m))
+
+    docs = exact_unique.map_batches(drop_near, batch_format="pyarrow",
+                                    batch_size=None)
+
+    if sample_permille is not None:
+        from .relational import deterministic_sample
+        docs = deterministic_sample(docs, id_col, sample_permille)
+
+    docs = docs.materialize()
+    stats["n_output"] = docs.count()
+    out = {"docs": docs, "stats": stats}
+
+    if embed_dim is not None:
+        from ..stages.embed_stage import embed_text
+        out["embeddings"] = embed_text(docs, text_col, id_col, dim=embed_dim)
+    return out

@@ -1,0 +1,57 @@
+"""End-to-end corpus curation: quality filter -> exact dedup -> near
+dedup -> sample -> embed, with planted defects."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from osf_data_validator_tool_ray.pipelines.corpus import curate_corpus
+
+
+def _corpus():
+    rng = np.random.default_rng(21)
+    # wide vocabulary so random docs are genuinely dissimilar
+    texts = [" ".join(f"w{rng.integers(0, 5000)}" for _ in range(40))
+             for _ in range(50)]
+    ids = list(range(50))
+    # planted: 3 exact dups of doc 2; 1 near dup of doc 3; 2 junk docs
+    texts += [texts[2], texts[2].upper(), "  " + texts[2] + "  "]
+    ids += [100, 101, 102]
+    texts += [texts[3][:-12] + " tail change x"]
+    ids += [103]
+    texts += ["short", "the the the the the the"]
+    ids += [104, 105]
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def test_curate_corpus_end_to_end():
+    df = _corpus()
+    res = curate_corpus(ray.data.from_pandas(df).repartition(3),
+                        near_dup_threshold=0.6, embed_dim=16)
+    stats = res["stats"]
+    out = res["docs"].to_pandas()
+    kept = set(out["doc_id"])
+    assert stats["n_input"] == 56
+    # junk dropped by quality gates
+    assert 104 not in kept and 105 not in kept
+    # exact dups collapse to the min id (normalization folds case/ws)
+    assert 2 in kept
+    assert not {100, 101, 102} & kept
+    # near dup of doc 3 collapses to doc 3
+    assert 3 in kept and 103 not in kept
+    assert stats["n_near_dup_rows"] >= 1
+    # text is normalized in the output
+    assert out[out.doc_id == 2]["text"].iloc[0].islower()
+    # embeddings cover exactly the survivors
+    emb = res["embeddings"].to_pandas()
+    assert set(emb["doc_id"]) == kept
+    assert len(np.asarray(emb["embedding"].iloc[0])) == 16
+
+
+def test_curate_corpus_sampling_deterministic():
+    df = _corpus()
+    a = curate_corpus(ray.data.from_pandas(df).repartition(2),
+                      sample_permille=500)["docs"].to_pandas()
+    b = curate_corpus(ray.data.from_pandas(df).repartition(5),
+                      sample_permille=500)["docs"].to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
