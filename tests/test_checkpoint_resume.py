@@ -138,3 +138,43 @@ def test_quarantine_fix_path(dataset, tmp_path):
     assert res["n_clean"] == 400 - len(bad_keys)
     q = ray.data.read_parquet(str(tmp_path / "quarantine")).to_pandas()
     assert set(q["clip_id"]) == set(bad_keys)
+
+
+def test_partitioned_corrupt_partition_heals_on_rerun(tmp_path):
+    """A failing partition (corrupt parquet) raises, but completed
+    partitions keep their records; after repairing the file, a rerun
+    validates only what is missing and the merged report is whole."""
+    import pytest as _pytest
+
+    from osf_data_validator_tool_ray.spec import clips_spec
+    from osf_data_validator_tool_ray.synth import write_clips_dataset
+
+    meta = write_clips_dataset(str(tmp_path / "clips"), n_rows=600, seed=5,
+                               defect_rate=0.02, num_shards=3)
+    import glob as _glob
+    shards = sorted(_glob.glob(meta["clips_dir"] + "/*.parquet"))
+    victim = shards[1]
+    good_bytes = open(victim, "rb").read()
+    with open(victim, "wb") as fh:          # corrupt: truncated footer
+        fh.write(good_bytes[: len(good_bytes) // 3])
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    with _pytest.raises(Exception):
+        validate_partitioned(meta["clips_dir"] + "/*.parquet", clips_spec(),
+                             store, decode=True)
+    done_after_crash = store.completed()
+    assert _partition_basename(victim) not in done_after_crash
+
+    with open(victim, "wb") as fh:          # repair
+        fh.write(good_bytes)
+    rep = validate_partitioned(meta["clips_dir"] + "/*.parquet", clips_spec(),
+                               store, decode=True)
+    assert rep["partitions_skipped"] == len(done_after_crash)
+    assert rep["partitions_ran"] == 3 - len(done_after_crash)
+    assert set(rep["partitions"]) == {_partition_basename(p) for p in shards}
+    assert rep["n_rows"] == 600
+
+
+def _partition_basename(path):
+    import os
+    return os.path.splitext(os.path.basename(path))[0]
