@@ -73,23 +73,6 @@ def _partition_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _severity_counts(files: list[str]) -> tuple[int, int]:
-    """(n_errors, n_warnings) from artifact files, reading ONLY the
-    severity column (cheap dictionary-encoded scan, no payload)."""
-    import pyarrow.parquet as pq
-
-    n_err = n_warn = 0
-    for f in files:
-        col = pq.read_table(f, columns=["severity"]).column("severity")
-        counts = col.value_counts().to_pylist()
-        for e in counts:
-            if e["values"] == "error":
-                n_err += e["counts"]
-            elif e["values"] == "warning":
-                n_warn += e["counts"]
-    return n_err, n_warn
-
-
 @ray.remote
 def _partition_task(
     path: str,
