@@ -11,10 +11,12 @@ job would run them at 100 TB, each stage streaming Ray-Data-first:
   5. sample         — deterministic Knuth-hash row sample (reproducible)
   6. embed          — batched model-inference stage (optional)
 
-Survivor filtering uses broadcast id-sets (ray.put once, probe per
-batch with pc.is_in) — candidate/dup id sets are small relative to the
-corpus by construction (dup rate bounds them), the same contract as
-checks/referential.py's broadcast regime.
+Survivor filtering broadcasts only DROP-side state (ray.put once, probe
+per batch): the exact-dedup filter ships the {content_hash: keep_id}
+map restricted to DUPLICATED contents, and the near-dedup filter ships
+the non-head doc ids — both bounded by the duplicate rate, never by
+corpus size, the same contract as checks/referential.py's broadcast
+regime.
 """
 
 from __future__ import annotations
@@ -42,11 +44,12 @@ def curate_corpus(
 ) -> dict:
     """Returns {"docs": curated Dataset, "stats": {...}} (plus
     "embeddings" when embed_dim is set)."""
-    from ..checks.dedup import (exact_dedup_groups, minhash_near_dup_pairs,
-                                near_dup_clusters)
+    from ..checks.dedup import _md5_col, minhash_near_dup_pairs, near_dup_clusters
     from ..functions.text import normalize_text, quality_features
+    from .relational import grouped_agg
 
     stats: dict = {"n_input": ds.count()}
+    _TH = "__text_hash"
 
     def clean(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pandas()
@@ -57,25 +60,37 @@ def curate_corpus(
                 & norm.notna().to_numpy(dtype=bool))
         out = t.set_column(t.schema.get_field_index(text_col), text_col,
                            pa.array(norm, type=pa.string()))
+        # content hash computed ONCE here and reused by the dedup filter
+        out = out.append_column(_TH, pa.array(_md5_col(norm), type=pa.string()))
         return out.filter(pa.array(keep))
 
     cleaned = ds.map_batches(clean, batch_format="pyarrow",
                              batch_size=None).materialize()
     stats["n_after_quality"] = cleaned.count()
 
-    # exact dedup: keep-first ids, broadcast the keep set
-    groups = exact_dedup_groups(cleaned, text_col, id_col)
-    keep_ids = set(groups.to_pandas()["keep_id"])
-    stats["n_exact_dup_rows"] = stats["n_after_quality"] - len(keep_ids)
-    keep_ref = ray.put(keep_ids)
+    # exact dedup: two-phase grouped agg on the content hash, then
+    # broadcast ONLY the duplicated-content map (hash -> keep id) —
+    # bounded by the dup rate, not corpus size
+    groups = grouped_agg(cleaned, _TH, {"keep_id": (id_col, "min"),
+                                        "n": (id_col, "count")}).to_pandas()
+    dup_groups = groups[groups["n"] > 1]
+    stats["n_exact_dup_rows"] = int((dup_groups["n"] - 1).sum())
+    dup_map = dict(zip(dup_groups[_TH], dup_groups["keep_id"]))
+    dup_ref = ray.put(dup_map)
 
-    def keep_only(t: pa.Table) -> pa.Table:
-        wanted = ray.get(keep_ref)
-        m = t.column(id_col).to_pandas().isin(wanted).to_numpy(dtype=bool)
+    def keep_first(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if not dups:
+            return t
+        th = t.column(_TH).to_pandas()
+        ids = t.column(id_col).to_pandas()
+        keep_of = th.map(dups)               # NaN for unique contents
+        m = (keep_of.isna() | (keep_of == ids)).to_numpy(dtype=bool)
         return t.filter(pa.array(m))
 
-    exact_unique = cleaned.map_batches(keep_only, batch_format="pyarrow",
-                                       batch_size=None).materialize()
+    exact_unique = cleaned.map_batches(keep_first, batch_format="pyarrow",
+                                       batch_size=None) \
+        .drop_columns([_TH]).materialize()
 
     # near dedup: LSH candidates -> components -> drop non-heads
     pairs = minhash_near_dup_pairs(exact_unique, text_col, id_col,
