@@ -627,6 +627,26 @@ def _q_text_embed_ann(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_grouped_drift(sf_dir: str):
+    """Per-slice drift (DRIFT-101, TFDV-style segment check): shift ONE
+    returnflag slice's l_quantity distribution; only that slice flags.
+    No SQL oracle (sketch comparison)."""
+    from osf_data_validator_tool_ray.checks.drift import (
+        build_profiles_by_group, grouped_drift_violations)
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    base = build_profiles_by_group(ds, "l_returnflag", ["l_quantity"])
+    cur_ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(
+            lambda t: t.filter(pc.or_(
+                pc.not_equal(t["l_returnflag"], "R"),
+                pc.greater(t["l_quantity"], 25.0))),
+            batch_format="pyarrow", batch_size=None)
+    cur = build_profiles_by_group(cur_ds, "l_returnflag", ["l_quantity"])
+    v = grouped_drift_violations(cur, base)
+    return v.select(["check_id", "key", "column"]).to_pandas() \
+        .sort_values(["check_id", "key"]).reset_index(drop=True)
+
+
 def _q_corpus_curation(sf_dir: str):
     """End-to-end corpus curation (normalize -> quality gate -> exact
     dedup -> MinHash near-dedup w/ connected components -> survivors).
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_check": _q_drift_check,
         "text_embed_ann": _q_text_embed_ann,
         "corpus_curation": _q_corpus_curation,
+        "grouped_drift": _q_grouped_drift,
     }
 
 

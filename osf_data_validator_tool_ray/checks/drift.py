@@ -108,6 +108,94 @@ def build_profile(
     return merged
 
 
+def build_profiles_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    numeric_cols: list[str],
+    cat_cols: Optional[list[str]] = None,
+    max_bins: int = 128,
+) -> dict[str, TableProfile]:
+    """Per-slice profiles (TFDV-style segment drift): one TableProfile
+    per distinct ``group_col`` value, built in ONE streaming pass —
+    per-(block, group) sketch partials merged driver-side.  Partial
+    volume is O(blocks x groups x KB); assumes low group cardinality
+    (codec, language, source — the slicing columns validation cares
+    about)."""
+    cat_cols = cat_cols or []
+    cols = sorted(set(numeric_cols) | set(cat_cols) | {group_col})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        out_g, out_p = [], []
+        for gval, sub in df.groupby(group_col, sort=False, dropna=True):
+            prof = TableProfile(n_rows=len(sub))
+            for c in numeric_cols:
+                h = StreamHist(max_bins)
+                h.update(sub[c].to_numpy())
+                prof.numeric[c] = h
+            for c in cat_cols:
+                vc = sub[c].value_counts()
+                prof.categorical[c] = {str(k): int(v) for k, v in vc.items()}
+            out_g.append(str(gval))
+            out_p.append(prof.to_json())
+        return pa.table({"group": pa.array(out_g, type=pa.string()),
+                         "profile": pa.array(out_p, type=pa.string())})
+
+    merged: dict[str, TableProfile] = {}
+    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, s in zip(b.column("group").to_pylist(),
+                        b.column("profile").to_pylist()):
+            p = TableProfile.from_json(s)
+            acc = merged.setdefault(g, TableProfile())
+            acc.n_rows += p.n_rows
+            for c, h in p.numeric.items():
+                acc.numeric[c] = acc.numeric[c].merge(h) if c in acc.numeric else h
+            for c, t in p.categorical.items():
+                d = acc.categorical.setdefault(c, {})
+                for k, v in t.items():
+                    d[k] = d.get(k, 0) + v
+    return merged
+
+
+def grouped_drift_violations(
+    current: dict[str, TableProfile],
+    baseline: dict[str, TableProfile],
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> pa.Table:
+    """DRIFT-101 per slice: compare each group's profile against the
+    same group's baseline; slices present on only one side get a
+    warning (DRIFT-50 — unevaluable, mirroring the -5x tier)."""
+    out = []
+    for g in sorted(set(current) | set(baseline)):
+        if g not in current or g not in baseline:
+            out.append(make_violations("DRIFT-50", [g], "slice",
+                                       ["missing" if g not in current
+                                        else "new slice"],
+                                       expected="slice present in both profiles",
+                                       severity="warning"))
+            continue
+        cur, base = current[g], baseline[g]
+        for c, hist in cur.numeric.items():
+            if c not in base.numeric:
+                continue
+            ks = ks_statistic(hist, base.numeric[c])
+            if ks > ks_threshold:
+                out.append(make_violations("DRIFT-101", [g], c,
+                                           [f"ks={ks:.4f}"],
+                                           expected=f"ks<={ks_threshold}"))
+        for c, table in cur.categorical.items():
+            if c not in base.categorical:
+                continue
+            v = freq_table_psi(base.categorical[c], table)
+            if v > psi_threshold:
+                out.append(make_violations("DRIFT-101", [g], c,
+                                           [f"psi={v:.4f}"],
+                                           expected=f"psi<={psi_threshold}"))
+    return pa.concat_tables(out) if out else empty_violations()
+
+
 def drift_violations(
     current: TableProfile,
     baseline: TableProfile,

@@ -54,3 +54,38 @@ def test_profile_roundtrip():
     assert p2.n_rows == p.n_rows
     assert abs(p2.distinct["clip_id"].estimate() - p.distinct["clip_id"].estimate()) < 1
     assert p2.numeric["dur_ms"].quantile(0.5)[0] == p.numeric["dur_ms"].quantile(0.5)[0]
+
+
+def test_grouped_drift_flags_only_shifted_slice():
+    """Per-slice drift: shift ONE group's distribution; only that slice
+    gets DRIFT-101, and a slice missing from current gets DRIFT-50."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.drift import (
+        build_profiles_by_group,
+        grouped_drift_violations,
+    )
+
+    rng = np.random.default_rng(17)
+    base_df = pd.DataFrame({
+        "codec": ["a"] * 2000 + ["b"] * 2000 + ["c"] * 500,
+        "dur": np.concatenate([rng.normal(100, 10, 2000),
+                               rng.normal(200, 20, 2000),
+                               rng.normal(50, 5, 500)]),
+    })
+    cur_df = pd.DataFrame({
+        "codec": ["a"] * 2000 + ["b"] * 2000,
+        "dur": np.concatenate([rng.normal(100, 10, 2000),     # unchanged
+                               rng.normal(400, 20, 2000)]),   # shifted
+    })
+    base = build_profiles_by_group(
+        ray.data.from_pandas(base_df).repartition(3), "codec", ["dur"])
+    cur = build_profiles_by_group(
+        ray.data.from_pandas(cur_df).repartition(4), "codec", ["dur"])
+    v = grouped_drift_violations(cur, base).to_pandas()
+    drifted = set(v[v.check_id == "DRIFT-101"]["key"])
+    assert drifted == {"b"}
+    warned = set(v[v.check_id == "DRIFT-50"]["key"])
+    assert warned == {"c"}          # slice vanished from current
