@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fix", action="store_true", help="quarantine violating rows")
     ap.add_argument("--fix-dir", default="/tmp/osfdvt_fix")
     ap.add_argument("--baseline-profile", help="drift baseline JSON path")
+    ap.add_argument("--drift-slice-column",
+                    help="also compare drift per slice of this column "
+                         "(DRIFT-101 per segment; e.g. codec)")
     ap.add_argument("--write-profile", help="write the current profile JSON here")
     ap.add_argument("--output-json", help="report file (default: stdout)")
     ap.add_argument("--output-xml", help="XML report file (reference dual-format analog)")
@@ -137,6 +140,28 @@ def main(argv: list[str] | None = None) -> int:
             dv = drift_violations(prof, base).to_pandas()
             report["drift"] = {"n_violations": len(dv),
                                "columns": sorted(set(dv["column"]))}
+        if args.drift_slice_column:
+            import json as _json
+
+            from .checks.drift import (build_profiles_by_group,
+                                       grouped_drift_violations)
+            slices = build_profiles_by_group(
+                ds, args.drift_slice_column, numeric_cols=["dur_ms"],
+                cat_cols=["sr_hz"])
+            slice_base_path = (args.baseline_profile or "") + ".slices"
+            if args.write_profile:
+                with open(args.write_profile + ".slices", "w") as f:
+                    _json.dump({g: p.to_json() for g, p in slices.items()}, f)
+            if args.baseline_profile and os.path.exists(slice_base_path):
+                with open(slice_base_path) as f:
+                    base_slices = {g: TableProfile.from_json(s)
+                                   for g, s in _json.load(f).items()}
+                gdv = grouped_drift_violations(slices, base_slices).to_pandas()
+                report["slice_drift"] = {
+                    "n_violations": int((gdv.check_id == "DRIFT-101").sum()),
+                    "n_warnings": int((gdv.check_id == "DRIFT-50").sum()),
+                    "slices": sorted(set(gdv["key"])),
+                }
 
     if args.fix:
         from .pipelines.fix import quarantine

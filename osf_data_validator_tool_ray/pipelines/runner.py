@@ -40,7 +40,7 @@ ALL_CHECK_IDS = [
     "DATATYPE-FACET-101", "ENUM-DOMAIN-100", "CROSS-DOMAIN-100",
     "ONLY-100", "CARD-MAX-100", "CARD-MIN-100", "CARD-MIN-102",
     "CARD-EXACT-100", "SOME-100", "REF-EXISTENCE-100",
-    "DECODE-100", "DECODE-101", "DRIFT-100",
+    "DECODE-100", "DECODE-101", "DRIFT-100", "DRIFT-101", "DRIFT-50",
     # restriction-lexical combos (dataRange analogs)
     "CARD-MAX-102", "CARD-MIN-104", "CARD-EXACT-104", "SOME-102", "ONLY-102",
     # warning tier (-5x): constraint declared but unevaluable / not
