@@ -112,12 +112,24 @@ def session_windows(
     key: str,
     ts_col: str,
     gap_s: int,
+    presplit_chunk_s: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Session windows: a new session starts when the gap to the previous
     event of the same key exceeds ``gap_s``.  Returns one row per session:
-    (key, session_id, session_start, session_end, n)."""
+    (key, session_id, session_start, session_end, n).
+
+    ``presplit_chunk_s`` is the hot-key path: events are first grouped by
+    (key, time-chunk) so no single group ever holds more than one chunk's
+    events; per-chunk sessions (a MUCH smaller set — bounded by
+    chunk_s/gap_s per key per chunk) are then merged across chunk
+    boundaries by a second groupby over sessions, not events.  Identical
+    output to the plain path (parity-tested)."""
 
     gap_us = gap_s * 1_000_000
+
+    if presplit_chunk_s is not None:
+        return _session_windows_presplit(ds, key, ts_col, gap_us,
+                                         presplit_chunk_s)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
@@ -136,6 +148,69 @@ def session_windows(
 
     return ds.select_columns([key, ts_col]).groupby(key).map_groups(
         sessions, batch_format="pandas")
+
+
+def _session_windows_presplit(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    chunk_s: int,
+) -> "ray.data.Dataset":
+    """Two-level sessionization for hot keys (SURVEY §2.2 partitioning
+    assumption removed): stage 1 sessionizes each (key, time-chunk)
+    group — bounded memory per group regardless of key skew; stage 2
+    merges PER-CHUNK SESSIONS (intervals, not events) across chunk
+    boundaries with the same gap rule and renumbers in start order."""
+    chunk_us = np.int64(1_000_000) * chunk_s
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({key: t.column(key),
+                         "_ts": pa.array(ts, type=pa.int64()),
+                         "_chunk": pa.array(np.floor_divide(ts, chunk_us),
+                                            type=pa.int64())})
+
+    def chunk_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["_ts"].to_numpy())
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = np.diff(ts) > gap_us
+        sid = np.cumsum(new)
+        df = pd.DataFrame({"_sid": sid, "_ts": ts})
+        agg = df.groupby("_sid").agg(session_start=("_ts", "min"),
+                                     session_end=("_ts", "max"),
+                                     n=("_ts", "size")).reset_index(drop=True)
+        agg[key] = g[key].iloc[0]
+        return agg[[key, "session_start", "session_end", "n"]]
+
+    def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start", kind="stable")
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        ns = g["n"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            # merge when the gap from the previous session's end is small;
+            # per-chunk sessions of one key never overlap (chunks are
+            # disjoint time ranges), so running max of ends == prev end
+            new[1:] = (starts[1:] - ends[:-1]) > gap_us
+        sid = np.cumsum(new)
+        df = pd.DataFrame({"_sid": sid, "s": starts, "e": ends, "n": ns})
+        agg = df.groupby("_sid").agg(session_start=("s", "min"),
+                                     session_end=("e", "max"),
+                                     n=("n", "sum")).reset_index()
+        agg = agg.rename(columns={"_sid": "session_id"})
+        agg[key] = g[key].iloc[0]
+        return agg[[key, "session_id", "session_start", "session_end", "n"]]
+
+    chunked = ds.select_columns([key, ts_col]).map_batches(
+        add_chunk, batch_format="pyarrow", batch_size=None)
+    per_chunk = chunked.groupby([key, "_chunk"]).map_groups(
+        chunk_sessions, batch_format="pandas")
+    return per_chunk.groupby(key).map_groups(merge_sessions,
+                                             batch_format="pandas")
 
 
 def asof_join(

@@ -267,3 +267,32 @@ def test_lag_deltas():
     assert got.loc[11, "delta_value"] == 2.0
     assert got.loc[12, "delta_value"] == -1.0
     assert np.isnan(got.loc[13, "delta_us"])   # first of its key
+
+
+def test_session_presplit_parity_with_plain_path():
+    """Two-level sessionization (hot-key time-chunk pre-split) ==
+    the plain per-key path, including sessions crossing chunk
+    boundaries."""
+    from osf_data_validator_tool_ray.pipelines.streaming import session_windows
+
+    rng = np.random.default_rng(33)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = []
+    for k in (1, 2, 3):
+        t = base
+        for _ in range(200):
+            # mixture of small gaps (same session) and large (new session),
+            # with some gaps straddling chunk boundaries
+            t += int(rng.choice([5, 30, 90, 400]) * 1_000_000)
+            rows.append((k, t))
+    df = pd.DataFrame(rows, columns=["k", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    ds = ray.data.from_pandas(df[["k", "ts"]]).repartition(4)
+
+    plain = session_windows(ds, "k", "ts", gap_s=60).to_pandas()
+    split = session_windows(ds, "k", "ts", gap_s=60,
+                            presplit_chunk_s=120).to_pandas()
+    cols = ["k", "session_id", "session_start", "session_end", "n"]
+    a = plain[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    b = split[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    assert a.equals(b)
