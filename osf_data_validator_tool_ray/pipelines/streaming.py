@@ -335,10 +335,16 @@ def topk_per_group(
     order_cols: "str | list[str]",
     k: int,
     ascending: "bool | list[bool]" = False,
+    presplit_salts: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Top-k rows per group by ``order_cols`` (ROW_NUMBER() <= k analog).
     groupby(key).map_groups with a group-local sort — no global sort.
-    Pass a full tie-breaking order for deterministic output."""
+    Pass a full tie-breaking order for deterministic output.
+
+    ``presplit_salts`` is the hot-key path: top-k is mergeable, so stage
+    1 takes per-(key, salt) local top-k (each group holds ~1/salts of a
+    hot key's rows) and stage 2 merges at most salts*k rows per key —
+    bounded regardless of key skew.  Identical output (parity-tested)."""
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     if isinstance(ascending, bool):
         ascending = [ascending] * len(order_cols)
@@ -349,4 +355,23 @@ def topk_per_group(
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
-    return ds.groupby(key).map_groups(head, batch_format="pandas")
+    if presplit_salts is None:
+        return ds.groupby(key).map_groups(head, batch_format="pandas")
+
+    salts = int(presplit_salts)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # row-hash salt: deterministic for a given block content, spreads
+        # a hot key's rows across `salts` subgroups
+        n = t.num_rows
+        return t.append_column(
+            "_salt", pa.array(np.arange(n, dtype=np.int64) % salts))
+
+    def local_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="stable")
+        return g.head(k).drop(columns=["_salt"])
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+    partial = salted.groupby([key, "_salt"]).map_groups(
+        local_head, batch_format="pandas")
+    return partial.groupby(key).map_groups(head, batch_format="pandas")

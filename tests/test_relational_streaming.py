@@ -296,3 +296,22 @@ def test_session_presplit_parity_with_plain_path():
     a = plain[cols].sort_values(cols).reset_index(drop=True).astype("int64")
     b = split[cols].sort_values(cols).reset_index(drop=True).astype("int64")
     assert a.equals(b)
+
+
+def test_topk_presplit_parity():
+    """Salted two-phase top-k == plain per-group top-k (hot-key path)."""
+    from osf_data_validator_tool_ray.pipelines.streaming import topk_per_group
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "k": np.concatenate([np.zeros(500, dtype=int),       # hot key
+                             rng.integers(1, 6, 100)]),
+        "v": rng.permutation(600),                           # unique order col
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    plain = topk_per_group(ds, "k", "v", 5).to_pandas()
+    split = topk_per_group(ds, "k", "v", 5, presplit_salts=8).to_pandas()
+    cols = ["k", "v", "rank"]
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = split[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
