@@ -212,15 +212,56 @@ def group_quantiles(
     value_col: str,
     qs: Sequence[float],
     aliases: Optional[Sequence[str]] = None,
+    approx: bool = False,
+    max_bins: int = 128,
 ) -> "ray.data.Dataset":
-    """Exact per-group quantiles (linear interpolation — matches SQL
-    quantile_cont).  Exact quantiles need each group's full value set, so
-    this shuffles rows by key (one-key-fits-heap assumption, like
-    topk_per_group); the approximate no-shuffle tier for unbounded
-    groups is functions.sketches.StreamHist."""
+    """Per-group quantiles.
+
+    approx=False (default): EXACT, linear interpolation matching SQL
+    quantile_cont — needs each group's full value set, so it shuffles
+    rows by key (one-key-fits-heap assumption, like topk_per_group).
+
+    approx=True: the unbounded-key scale path — per-(block, key)
+    StreamHist sketch partials; the exchange groups SKETCHES (one per
+    key per block), never rows, so a hot key costs O(blocks) tiny
+    sketches instead of its row count."""
     keylist = [key] if isinstance(key, str) else list(key)
     names = list(aliases) if aliases else [f"q{int(q * 100)}" for q in qs]
     qarr = list(qs)
+    gkey = key if len(keylist) > 1 else keylist[0]
+
+    if approx:
+        from ..functions.sketches import StreamHist
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.select(keylist + [value_col]).to_pandas()
+            rows: dict[str, list] = {k: [] for k in keylist}
+            sketches = []
+            for gval, sub in df.groupby(keylist, sort=False, dropna=False):
+                gvals = gval if isinstance(gval, tuple) else (gval,)
+                for k, v in zip(keylist, gvals):
+                    rows[k].append(v)
+                h = StreamHist(max_bins)
+                h.update(sub[value_col].dropna().to_numpy(dtype=np.float64))
+                sketches.append(h.to_bytes())
+            rows["_sketch"] = sketches
+            return pa.Table.from_pandas(pd.DataFrame(rows),
+                                        preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            h = StreamHist(max_bins)
+            for s in g["_sketch"]:
+                h.merge(StreamHist.from_bytes(s))
+            row = {k: [g[k].iloc[0]] for k in keylist}
+            vals = h.quantile(qarr)
+            for name, v in zip(names, vals):
+                row[name] = [float(v)]
+            return pd.DataFrame(row)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+        return partials.groupby(gkey).map_groups(merge, batch_format="pandas")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         vals = g[value_col].dropna().to_numpy(dtype=np.float64)
@@ -229,8 +270,7 @@ def group_quantiles(
             row[name] = [float(np.quantile(vals, q)) if len(vals) else None]
         return pd.DataFrame(row)
 
-    return ds.select_columns(keylist + [value_col]).groupby(
-        key if len(keylist) > 1 else keylist[0]).map_groups(
+    return ds.select_columns(keylist + [value_col]).groupby(gkey).map_groups(
         per_group, batch_format="pandas")
 
 

@@ -315,3 +315,24 @@ def test_topk_presplit_parity():
     a = plain[cols].sort_values(cols).reset_index(drop=True)
     b = split[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype("int64").equals(b.astype("int64"))
+
+
+def test_group_quantiles_approx_close_to_exact():
+    """Sketch-tier grouped quantiles (hot-key safe: the exchange moves
+    per-block sketches, not rows) track the exact values."""
+    from osf_data_validator_tool_ray.pipelines.relational import group_quantiles
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"k": np.concatenate([np.zeros(5000, dtype=int),  # hot
+                                            rng.integers(1, 4, 500)]),
+                       "v": rng.normal(100, 25, 5500)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    exact = group_quantiles(ds, "k", "v", [0.5, 0.9]).to_pandas() \
+        .set_index("k").sort_index()
+    approx = group_quantiles(ds, "k", "v", [0.5, 0.9], approx=True) \
+        .to_pandas().set_index("k").sort_index()
+    assert list(exact.index) == list(approx.index)
+    for kk in exact.index:
+        spread = df[df.k == kk]["v"].std() + 1e-9
+        assert abs(exact.loc[kk, "q50"] - approx.loc[kk, "q50"]) < 0.25 * spread
+        assert abs(exact.loc[kk, "q90"] - approx.loc[kk, "q90"]) < 0.25 * spread
