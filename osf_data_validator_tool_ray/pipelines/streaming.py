@@ -220,13 +220,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    presplit_chunk_s: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """As-of (backward) join: each left row picks the right row of the
     same key with the greatest right_ts <= left_ts.
 
     One tagged-union hash shuffle on ``key``; per-key pd.merge_asof.
     Output: left columns + requested right columns (null when no match).
-    """
+
+    ``presplit_chunk_s`` is the hot-key path: both sides are chunked by
+    time so a group never exceeds one (key, chunk)'s rows; each chunk's
+    join sees its own right rows plus ONE carry-in row (the latest right
+    row from any earlier chunk), computed from per-chunk argmax
+    summaries — the summary table holds one row per (key, chunk), never
+    raw rows.  Identical output to the plain path (parity-tested)."""
+    if presplit_chunk_s is not None:
+        return _asof_join_presplit(left, right, key, left_ts, right_ts,
+                                   right_cols, presplit_chunk_s)
 
     lcols = [c for c in left.schema().names]
     l = left.map_batches(
@@ -327,6 +337,134 @@ def lag_deltas(
         [key, ts_col, id_col] + ([value_col] if value_col else []))]
     return ds.select_columns(cols).groupby(key).map_groups(
         per_key, batch_format="pandas")
+
+
+def _asof_join_presplit(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    chunk_s: int,
+) -> "ray.data.Dataset":
+    """Hot-key as-of join: chunk time, join per (key, chunk) with ONE
+    carry-in right row per chunk (the latest right row of any earlier
+    chunk).  Reduces every group to one chunk's rows; the cross-chunk
+    state is the per-(key, chunk) argmax summary table (one row each,
+    never raw rows).  Delegates the per-chunk join to the plain path via
+    a composite (key|chunk) group column, so semantics are identical."""
+    chunk_us = np.int64(1_000_000) * chunk_s
+    rcols = list(dict.fromkeys([key, right_ts]
+                               + [c for c in right_cols if c != key]))
+
+    def _chunks_of(t: pa.Table, ts_col: str) -> np.ndarray:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return np.floor_divide(ts, chunk_us)
+
+    def _with_kc(t: pa.Table, ts_col: str) -> pa.Table:
+        ch = _chunks_of(t, ts_col)
+        kvals = t.column(key).to_pandas().astype(str)
+        kc = kvals + "|" + pd.Series(ch).astype(str)
+        return t.append_column("__kc", pa.array(kc, type=pa.string()))
+
+    # ---- right per-(key, chunk) latest-row summaries (argmax) ----------
+    def r_partial(t: pa.Table) -> pa.Table:
+        df = t.select(rcols).to_pandas().dropna(subset=[right_ts])
+        if len(df) == 0:
+            df["_chunk"] = pd.Series(dtype="int64")
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .replace_schema_metadata(None)
+        ts_us = df[right_ts].astype("datetime64[us]").astype("int64")
+        df["_chunk"] = np.floor_divide(ts_us.to_numpy(), chunk_us)
+        idx = df.groupby([key, "_chunk"], sort=False)[right_ts].idxmax()
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def r_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[right_ts].idxmax()]]
+
+    summaries = right.map_batches(r_partial, batch_format="pyarrow",
+                                  batch_size=None) \
+        .groupby([key, "_chunk"]).map_groups(r_final, batch_format="pandas") \
+        .materialize()
+
+    # ---- distinct left (key, chunk) pairs (combiner-reduced) -----------
+    from .relational import grouped_agg
+
+    def l_chunks(t: pa.Table) -> pa.Table:
+        ch = _chunks_of(t, left_ts)
+        return pa.table({key: t.column(key),
+                         "_chunk": pa.array(ch, type=pa.int64())})
+
+    lpairs = grouped_agg(
+        left.select_columns([key, left_ts]).map_batches(
+            l_chunks, batch_format="pyarrow", batch_size=None),
+        [key, "_chunk"], {"_n": (key, "count")})
+
+    # ---- carry-in per left chunk: latest summary from an earlier chunk --
+    def _pt(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    rschema = summaries.schema()
+    rtypes = {n: _pt(t) for n, t in zip(rschema.names, rschema.types)}
+    rtypes["_chunk"] = pa.int64()
+    all_cols = sorted(set(rcols) | {key, "_chunk", "_tag"})
+
+    def pad(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("_tag", pa.array([tag] * t.num_rows))
+            for c in all_cols:
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, type=rtypes.get(c, pa.string())))
+            return t.select(all_cols)
+        return fn
+
+    def assign_carries(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_tag"] == "s"].sort_values("_chunk", kind="stable")
+        lcs = np.sort(g.loc[g["_tag"] == "l", "_chunk"].unique())
+        out_cols = rcols + ["_chunk"]
+        if s.empty or len(lcs) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+                                 for c in out_cols})
+        schunks = s["_chunk"].to_numpy()
+        idx = np.searchsorted(schunks, lcs) - 1     # latest chunk < lc
+        m = idx >= 0
+        picked = s.iloc[idx[m]][rcols].reset_index(drop=True)
+        picked["_chunk"] = lcs[m]
+        return picked[out_cols]
+
+    tagged = summaries.map_batches(pad("s"), batch_format="pyarrow",
+                                   batch_size=None).union(
+        lpairs.map_batches(pad("l"), batch_format="pyarrow", batch_size=None))
+    carries = tagged.groupby(key).map_groups(assign_carries,
+                                             batch_format="pandas")
+
+    # ---- per-chunk join via the plain path on the composite key --------
+    def r_with_given_kc(t: pa.Table) -> pa.Table:
+        kvals = t.column(key).to_pandas().astype(str)
+        ch = t.column("_chunk").to_pandas().astype("int64").astype(str)
+        t = t.append_column("__kc", pa.array(kvals + "|" + ch,
+                                             type=pa.string()))
+        return t.select(rcols + ["__kc"])
+
+    left2 = left.map_batches(lambda t: _with_kc(t, left_ts),
+                             batch_format="pyarrow", batch_size=None)
+    right2 = right.select_columns(rcols).map_batches(
+        lambda t: _with_kc(t, right_ts), batch_format="pyarrow",
+        batch_size=None).union(
+        carries.map_batches(r_with_given_kc, batch_format="pyarrow",
+                            batch_size=None))
+    out = asof_join(left2, right2, "__kc", left_ts, right_ts, right_cols)
+    return out.map_batches(lambda t: t.drop_columns(["__kc"]),
+                           batch_format="pyarrow", batch_size=None)
 
 
 def topk_per_group(

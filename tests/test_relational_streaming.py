@@ -336,3 +336,39 @@ def test_group_quantiles_approx_close_to_exact():
         spread = df[df.k == kk]["v"].std() + 1e-9
         assert abs(exact.loc[kk, "q50"] - approx.loc[kk, "q50"]) < 0.25 * spread
         assert abs(exact.loc[kk, "q90"] - approx.loc[kk, "q90"]) < 0.25 * spread
+
+
+def test_asof_presplit_parity():
+    """Time-chunked as-of join (hot-key path) == plain as-of join,
+    including carry-ins across empty chunks."""
+    from osf_data_validator_tool_ray.pipelines.streaming import asof_join
+
+    rng = np.random.default_rng(8)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    lrows, rrows = [], []
+    for k in (1, 2):
+        for i in range(120):
+            lrows.append((k, base + int(rng.integers(0, 3600)) * 1_000_000, i))
+        for j in range(20):
+            rrows.append((k, base + int(rng.integers(0, 3600)) * 1_000_000,
+                          float(j)))
+    # key 3: left events long after the only right row (carry across many
+    # empty chunks)
+    lrows.append((3, base + 3500 * 1_000_000, 999))
+    rrows.append((3, base + 10 * 1_000_000, 77.0))
+    ldf = pd.DataFrame(lrows, columns=["k", "ts_us", "eid"])
+    rdf = pd.DataFrame(rrows, columns=["k", "rts_us", "val"])
+    ldf["lts"] = pd.to_datetime(ldf.pop("ts_us"), unit="us")
+    rdf["rts"] = pd.to_datetime(rdf.pop("rts_us"), unit="us")
+    lds = ray.data.from_pandas(ldf).repartition(3)
+    rds = ray.data.from_pandas(rdf).repartition(2)
+
+    plain = asof_join(lds, rds, "k", "lts", "rts", ["val"]).to_pandas()
+    split = asof_join(lds, rds, "k", "lts", "rts", ["val"],
+                      presplit_chunk_s=300).to_pandas()
+    cols = ["k", "eid", "val"]
+    a = plain[cols].fillna(-1).sort_values(["k", "eid"]).reset_index(drop=True)
+    b = split[cols].fillna(-1).sort_values(["k", "eid"]).reset_index(drop=True)
+    assert a.astype(float).round(6).equals(b.astype(float).round(6))
+    # the long-gap carry-in resolved
+    assert split[split.eid == 999]["val"].iloc[0] == 77.0
