@@ -627,6 +627,30 @@ def _q_text_embed_ann(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_multimodal_pipeline(sf_dir: str):
+    """Multimodal plumbing end-to-end (fake decode backend — no imaging
+    libs in this environment; the Ray-side schema/batching/actor wiring
+    is real): synthesize deterministic image payloads keyed by doc_id,
+    run the decode+resize+feature stage in small batches, return per-
+    image stats incl. seeded corrupt payloads flagged undecodable."""
+    from osf_data_validator_tool_ray.stages.multimodal import (
+        ImageDecodeStage, synth_image_payload)
+    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"] \
+        .tolist()[:200]
+    rows = []
+    for i in ids:
+        buf = synth_image_payload(32 + i % 16, 24 + i % 8, seed=int(i))
+        if i % 37 == 0:
+            buf = buf[: len(buf) // 2]          # seeded corruption
+        rows.append({"image_id": f"img:{i:08d}", "bytes": buf})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    stats = ds.map_batches(ImageDecodeStage(), batch_format="pyarrow",
+                           batch_size=32).to_pandas()
+    stats["mean_luma"] = stats["mean_luma"].round(6)
+    return stats[["image_id", "decoded_ok", "width", "height", "mean_luma"]] \
+        .sort_values("image_id").reset_index(drop=True)
+
+
 def _q_grouped_drift(sf_dir: str):
     """Per-slice drift (DRIFT-101, TFDV-style segment check): shift ONE
     returnflag slice's l_quantity distribution; only that slice flags.
@@ -806,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embed_ann": _q_text_embed_ann,
         "corpus_curation": _q_corpus_curation,
         "grouped_drift": _q_grouped_drift,
+        "multimodal_pipeline": _q_multimodal_pipeline,
     }
 
 
