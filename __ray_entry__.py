@@ -258,7 +258,9 @@ def _q_quality(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    """Language-ID heuristic (no SQL oracle — marker-word scoring)."""
+    """Language-ID heuristic: marker-word hit-rate argmax + CJK script
+    detection — fully SQL-expressible (the oracle replicates the scoring
+    with list_filter counts and an argmax CASE with matching tie order)."""
     from osf_data_validator_tool_ray.functions.text import lang_id
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -999,6 +1001,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(
                        text, '\\b(?:data|table|value)\\b')) AS BIGINT) AS n_hits
             FROM documents
+        """,
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-zà-ɏ]+') AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text,
+                len(list_filter(ws, x -> x IN ('and','for','in','is','it',
+                    'of','that','the','to','was')))
+                  / CAST(greatest(1, len(ws)) AS DOUBLE) AS en,
+                len(list_filter(ws, x -> x IN ('de','el','en','es','la',
+                    'los','que','un','una','y')))
+                  / CAST(greatest(1, len(ws)) AS DOUBLE) AS es,
+                len(list_filter(ws, x -> x IN ('das','den','der','die','ein',
+                    'ist','mit','nicht','und','zu')))
+                  / CAST(greatest(1, len(ws)) AS DOUBLE) AS de,
+                len(list_filter(ws, x -> x IN ('dans','des','est','et','la',
+                    'le','les','pour','que','une')))
+                  / CAST(greatest(1, len(ws)) AS DOUBLE) AS fr
+              FROM w
+            )
+            SELECT doc_id, CASE
+              WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN greatest(en, es, de, fr) <= 0.02 THEN 'und'
+              WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+              WHEN es >= de AND es >= fr THEN 'es'
+              WHEN de >= fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+            FROM s
         """,
         "broadcast_join_nation": """
             SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
