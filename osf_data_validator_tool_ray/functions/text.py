@@ -71,28 +71,67 @@ _LANG_MARKERS = {
 _WORD_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
 _CJK_RE = re.compile(r"[一-鿿]")
 
+# precomputed marker lookup: token -> per-language membership bitmask
+# (markers overlap across languages — 'la', 'que' — so a bitmask, not a
+# single code; slot 0 of the LUT is "not a marker")
+_LANGS = list(_LANG_MARKERS)
+_ALL_MARKERS = sorted(set().union(*_LANG_MARKERS.values()))
+_MARKER_LUT = np.zeros(len(_ALL_MARKERS) + 1, dtype=np.int64)
+for _i, _w in enumerate(_ALL_MARKERS):
+    for _j, _lg in enumerate(_LANGS):
+        if _w in _LANG_MARKERS[_lg]:
+            _MARKER_LUT[_i + 1] |= 1 << _j
+
 
 def lang_id(texts: pd.Series) -> np.ndarray:
     """Best-effort language guess per text from marker-word hit rates and
-    CJK script detection; 'und' (undetermined) when nothing matches."""
-    out = np.full(len(texts), "und", dtype=object)
-    cjk = texts.str.count(_CJK_RE).fillna(0).to_numpy(dtype=np.int64)
-    lower = texts.str.lower().fillna("")
-    words = lower.str.findall(_WORD_RE)
-    scores = np.zeros((len(texts), len(_LANG_MARKERS)), dtype=np.float64)
-    langs = list(_LANG_MARKERS)
-    for j, lg in enumerate(langs):
-        markers = _LANG_MARKERS[lg]
-        scores[:, j] = words.map(
-            lambda ws: sum(w in markers for w in ws) / max(1, len(ws))
-        ).to_numpy(dtype=np.float64)
+    CJK script detection; 'und' (undetermined) when nothing matches.
+
+    Arrow-native and vectorized end to end (round-2 verdict item #5):
+    ONE RE2 tokenizing split (``pc.split_pattern_regex``), ONE hash
+    lookup of every token against the combined marker vocabulary
+    (``pc.index_in`` -> bitmask LUT), then per-language segment sums via
+    int64 cumsum over the list offsets — no per-row Python loop.  (An
+    int8->float64 cumsum hits a pathological numpy buffered-cast path,
+    ~100x slower than int64 — keep the accumulators int64.)  The DuckDB
+    oracle in __ray_entry__ pins the scoring semantics; the argmax
+    tie-break order matches its CASE order (en, es, de, fr)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    out = np.full(n, "und", dtype=object)
+    if n == 0:
+        return out
+    arr = pc.fill_null(pa.array(texts, from_pandas=True), "")
+    lower_a = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(lower_a, "[^a-zA-ZÀ-ɏ]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    codes = pc.fill_null(pc.index_in(flat, value_set=pa.array(_ALL_MARKERS)),
+                         -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    masks = _MARKER_LUT[codes + 1]
+    # split keeps empty boundary tokens; they must not count as words
+    nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0) \
+        .astype(np.int64)
+
+    def seg(v: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0], np.cumsum(v)])
+        return (c[offsets[1:]] - c[offsets[:-1]]).astype(np.float64)
+
+    denom = np.maximum(seg(nonempty), 1.0)
+    scores = np.empty((n, len(_LANGS)), dtype=np.float64)
+    for j in range(len(_LANGS)):
+        scores[:, j] = seg((masks >> j) & 1) / denom
     best = scores.argmax(axis=1)
     best_score = scores.max(axis=1)
-    for i in range(len(texts)):
-        if cjk[i] > 0:
-            out[i] = "zh"
-        elif best_score[i] > 0.02:
-            out[i] = langs[best[i]]
+    lang_arr = np.array(_LANGS, dtype=object)
+    out = np.where(best_score > 0.02, lang_arr[best], out)
+    cjk = pc.count_substring_regex(arr, "[一-鿿]") \
+        .to_numpy(zero_copy_only=False)
+    out[cjk > 0] = "zh"
     return out
 
 
