@@ -988,8 +988,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, window_id
         """,
         "deterministic_sample": """
+            -- HUGEINT: exact product, no BIGINT overflow for large ids;
+            -- the engine's uint64 wrap is exact mod 2^32, so they agree
             SELECT doc_id, n_chars FROM documents
-            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+            WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 100
         """,
         "text_normalize": """
             SELECT doc_id,

@@ -285,13 +285,18 @@ def deterministic_sample(
     (Knuth multiplicative hash).  Unlike random_sample this is STABLE
     across runs, partitionings and engines — the same rows are selected
     every time, and the selection is expressible in SQL for the oracle:
-    ((id * knuth) % mod) % 1000 < permille.  Per-batch vectorized filter,
-    no shuffle, no driver work."""
+    ((id::HUGEINT * knuth) % mod) % 1000 < permille.  Per-batch
+    vectorized filter, no shuffle, no driver work.
+
+    The hash multiplies in uint64 (wrapping).  Because mod divides 2^64,
+    (id * knuth) wrapped mod 2^64 is EXACT mod 2^32 — so results agree
+    with the oracle's exact HUGEINT arithmetic for any non-negative
+    int64 id (the int64 version silently wrapped past id ~3.47e9)."""
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (ids * np.int64(knuth)) % np.int64(mod)
-        return t.filter(pa.array((h % 1000) < permille))
+        h = (ids.astype(np.uint64) * np.uint64(knuth)) % np.uint64(mod)
+        return t.filter(pa.array((h % np.uint64(1000)) < permille))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -364,28 +369,92 @@ def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
              .map_batches(lambda t: t.select([column]), batch_format="pyarrow")
 
 
-def distinct_counts(ds: "ray.data.Dataset", columns: Sequence[str]) -> pa.Table:
-    """Exact COUNT(DISTINCT col) for several columns in one pass:
-    per-batch set partials -> merge on driver (sets of distinct values,
-    bounded by key cardinality; the approximate tier for unbounded
-    cardinality is functions.sketches.HyperLogLog)."""
+def distinct_counts(
+    ds: "ray.data.Dataset",
+    columns: Sequence[str],
+    approx: bool = False,
+    threshold: int = DRIVER_MERGE_THRESHOLD,
+) -> pa.Table:
+    """COUNT(DISTINCT col) for several columns.
+
+    approx=False (default): EXACT, adaptive like every other merge here
+    (round-2 verdict item #3 — the set merge is now row+byte-gated):
+    one pass builds per-batch distinct partials; when the materialized
+    partials pass ``fits_driver_merge`` they union on the driver,
+    otherwise each overflowed column takes a scale-safe
+    groupby(col).count-groups exchange over its own partials (the
+    exchange moves per-batch-distinct values, never raw rows).
+
+    approx=True: the unbounded-cardinality tier — ONE pass shipping a
+    HyperLogLog(p=14) sketch per (batch, column); driver merges ~16 KiB
+    registers per sketch.  Standard HLL tolerance: ~1.04/sqrt(2^14)
+    ≈ 0.8% relative error (documented; asserted in pytest)."""
 
     cols = list(columns)
 
+    if approx:
+        from ..functions.sketches import HyperLogLog
+
+        def hpartial(batch: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                h = HyperLogLog()
+                vals = batch.column(c).to_pandas().dropna().to_numpy()
+                if len(vals):
+                    h.update(vals)
+                out[c] = [h.to_bytes()]
+            return pa.table(out)
+
+        merged = {c: HyperLogLog() for c in cols}
+        parts = ds.select_columns(cols).map_batches(
+            hpartial, batch_format="pyarrow", batch_size=None)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for c in cols:
+                for sk in b.column(c).to_pylist():
+                    merged[c].merge(HyperLogLog.from_bytes(sk))
+        return pa.table({f"n_{c}": pa.array([int(round(merged[c].estimate()))],
+                                            type=pa.int64()) for c in cols})
+
     def partial(batch: pa.Table) -> pa.Table:
+        # long format, one typed value column per input column (padded
+        # with nulls to a common length) so ONE pass covers all columns
+        # and the materialized size is gateable
+        uniq = {c: pd.unique(batch.column(c).to_pandas().dropna())
+                for c in cols}
+        width = max((len(u) for u in uniq.values()), default=0)
         out = {}
         for c in cols:
-            u = pd.unique(batch.column(c).to_pandas().dropna())
-            out[c] = [u.tolist()]
+            u = uniq[c]
+            typ = batch.schema.field(c).type
+            arr = pa.array(u, type=typ)
+            out[c] = pa.concat_arrays(
+                [arr, pa.nulls(width - len(u), type=typ)])
         return pa.table(out)
 
-    parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow", batch_size=None)
-    sets: dict[str, set] = {c: set() for c in cols}
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for c in cols:
-            for lst in b.column(c).to_pylist():
-                sets[c].update(lst)
-    return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64()) for c in cols})
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).materialize()
+
+    if fits_driver_merge(parts, threshold):
+        sets: dict[str, set] = {c: set() for c in cols}
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for c in cols:
+                vals = b.column(c).drop_null()
+                sets[c].update(vals.to_pylist())
+        return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64())
+                         for c in cols})
+
+    # overflow: per-column groupby over its OWN partial values — the
+    # number of groups IS the distinct count; no driver set
+    from ..checks.cardinality import coalesce_partials
+    counts = {}
+    for c in cols:
+        col_parts = parts.map_batches(
+            lambda t, c=c: t.select([c]).drop_null(),
+            batch_format="pyarrow", batch_size=None)
+        grouped = coalesce_partials(col_parts).groupby(c) \
+            .aggregate(Count(alias_name="_c"))
+        counts[f"n_{c}"] = pa.array([grouped.count()], type=pa.int64())
+    return pa.table(counts)
 
 
 def broadcast_join(
@@ -510,23 +579,37 @@ def hash_join(
     key: str,
     how: str = "inner",
     num_partitions: Optional[int] = None,
+    broadcast_threshold: int = 1_000_000,
+    use_native: Optional[bool] = None,
 ) -> "ray.data.Dataset":
     """Equi-join on ``key``.
 
-    Uses Ray's native hash-partitioned ``Dataset.join`` when present
-    (Ray >= 2.46); otherwise falls back to the portable tagged-union
-    bucket join (ray_guide.md): union both sides with a side marker,
-    groupby(key), per-key pandas merge.  Broadcast the small side with
-    checks.referential.broadcast_membership_filter-style probes instead
-    when one side fits in memory — this operator is for big-big."""
+    Adaptive (round-2 verdict item #4): small right sides (row+byte
+    gated by ``broadcast_threshold`` / fits_driver_merge) are joined via
+    ``broadcast_join`` (inner/left) or the tagged-union bucket join —
+    NEVER Ray's native ``Dataset.join``, whose Ray 2.49 hash-shuffle
+    aggregator raises ArrowInvalid for partitions that receive zero
+    right-side blocks (the sparse-right crash documented in
+    checks/dedup.py near_dup_clusters).  Big-big joins use the native
+    hash-partitioned join when present (Ray >= 2.46), else the portable
+    tagged-union fallback: union both sides with a side marker,
+    groupby(key), per-key pandas merge.  ``use_native`` pins a path for
+    testing."""
     import ray as _ray
 
     n = num_partitions or max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    if hasattr(ray.data.Dataset, "join"):
-        return left.join(right, join_type=how, num_partitions=n, on=(key,))
+    rmat = right.materialize()
+    small_right = fits_driver_merge(rmat, broadcast_threshold)
+    if small_right and how in ("inner", "left") and use_native is not True:
+        return broadcast_join(left, rmat, key, how=how)
+    if use_native is None:
+        use_native = hasattr(ray.data.Dataset, "join") and not small_right
+    if use_native:
+        return left.join(rmat, join_type=how, num_partitions=n, on=(key,))
 
     lschema = left.schema()
-    rschema = right.schema()
+    rschema = rmat.schema()
+    right = rmat
     lcols = list(lschema.names)
     # right-side columns carried through the join: keep the key (merge
     # needs it on both sides), drop non-key columns duplicated on the left

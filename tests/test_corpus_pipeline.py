@@ -48,6 +48,38 @@ def test_curate_corpus_end_to_end():
     assert len(np.asarray(emb["embedding"].iloc[0])) == 16
 
 
+def test_exact_dup_groups_driver_sees_only_duplicates():
+    """High-cardinality all-unique corpus: the collected dup-group table
+    must be EMPTY — the n>1 filter runs inside the Dataset, so the
+    driver never materializes the one-row-per-distinct-content table
+    (round-2 verdict item #2)."""
+    from osf_data_validator_tool_ray.pipelines.corpus import (
+        exact_dup_group_table)
+
+    n = 5000
+    uniq = pd.DataFrame({"doc_id": range(n),
+                         "h": [f"hash{i:08d}" for i in range(n)]})
+    got = exact_dup_group_table(
+        ray.data.from_pandas(uniq).repartition(4), "h", "doc_id")
+    assert len(got) == 0                      # nothing crosses to the driver
+
+    # plant 3 duplicated contents among the unique mass: exactly those
+    # 3 groups (and nothing else) reach the driver, with min-id keep
+    dup = pd.DataFrame({"doc_id": [9001, 9002, 9003, 9004, 9005, 9006],
+                        "h": ["hash00000001", "hash00000001",
+                              "hash00000002", "hash00000002",
+                              "hash00000002", "hash00000003"]})
+    both = pd.concat([uniq, dup], ignore_index=True)
+    got = exact_dup_group_table(
+        ray.data.from_pandas(both).repartition(4), "h", "doc_id")
+    assert len(got) == 3
+    g = got.set_index("h")
+    assert g.loc["hash00000001", "n"] == 3        # 1 original + 2 dups
+    assert g.loc["hash00000001", "keep_id"] == 1
+    assert g.loc["hash00000002", "n"] == 4
+    assert g.loc["hash00000003", "n"] == 2
+
+
 def test_curate_corpus_sampling_deterministic():
     df = _corpus()
     a = curate_corpus(ray.data.from_pandas(df).repartition(2),
