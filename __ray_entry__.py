@@ -975,14 +975,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 450
         """,
         "sliding_windows": """
+            -- floor() like the tumbling oracle: the x - x %% s form is
+            -- truncation-toward-zero under DuckDB's C-style %%, which
+            -- disagrees with the engine's floor_divide for pre-1970
+            -- (negative-epoch) timestamps
             SELECT user_id, window_id, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS sum_value
             FROM (
                 SELECT user_id, value,
                        UNNEST(generate_series(
-                           ((epoch_us(ts) - 90000000)
-                            - ((epoch_us(ts) - 90000000) % 30000000)) // 30000000 + 1,
-                           (epoch_us(ts) - (epoch_us(ts) % 30000000)) // 30000000
+                           CAST(floor((epoch_us(ts) - 90000000)
+                                      / 30000000.0) AS BIGINT) + 1,
+                           CAST(floor(epoch_us(ts) / 30000000.0) AS BIGINT)
                        )) AS window_id
                 FROM events)
             GROUP BY user_id, window_id

@@ -197,6 +197,15 @@ def minhash_near_dup_pairs(
                                   bucket_pairs, "est_jaccard", "max")
 
 
+# transient-memory budget for the vectorized same-size bucket pairing:
+# each chunk materializes ~3 (G, P, d) float/uint64 temporaries (two
+# operand gathers + the score), so G is capped such that
+# G * P * d * 8 * 3 stays under this — max_bucket_pairs bounds P per
+# bucket but NOT the bucket-group count G (round-2 advice: many
+# moderate equal-size buckets could demand tens of GB transient)
+PAIR_CHUNK_BUDGET_BYTES = 256 * 1024 * 1024
+
+
 def _vector_bucket_pairs(
     df: "pd.DataFrame",
     key_cols: list[str],
@@ -206,12 +215,15 @@ def _vector_bucket_pairs(
     keep,
     max_bucket_pairs: int,
     op_name: str,
+    pair_budget_bytes: int = PAIR_CHUNK_BUDGET_BYTES,
 ):
     """Driver fast path for banded candidate generation: one lexsort,
     bucket boundaries from key changes, per-bucket numpy slice pairing —
     no per-bucket pandas frames (10k+ tiny buckets would pay ~0.3ms of
     pandas overhead each).  pair_score((P,d),(P,d))->scores;
-    keep(scores)->mask.  Returns (id_a, id_b, score) arrays, id_a<id_b."""
+    keep(scores)->mask.  Returns (id_a, id_b, score) arrays, id_a<id_b.
+    Same-size bucket groups are processed in chunks bounded by
+    ``pair_budget_bytes`` of temporaries."""
     import logging
 
     arrs = [df[c].to_numpy() for c in key_cols]
@@ -242,15 +254,22 @@ def _vector_bucket_pairs(
             sc_all.append(sc)
 
     # all same-size buckets at once: (G, s, d) signature blocks, one
-    # vectorized score over every pair of every bucket of that size
+    # vectorized score over every pair of every bucket of that size,
+    # with the G axis chunked to bound the (G, P, d) temporaries
+    d_width = int(sig_mat.shape[1]) if sig_mat.ndim > 1 else 1
     for s_val in np.unique(sizes[(sizes >= 2) & ~big]):
         sel = np.flatnonzero((sizes == s_val) & ~big)
-        idx = starts[sel][:, None] + np.arange(s_val)[None, :]
         iu0, iu1 = np.triu_indices(int(s_val), 1)
-        sig_g = sig[idx]                       # (G, s, d)
-        sc = pair_score(sig_g[:, iu0, :], sig_g[:, iu1, :])   # (G, P)
-        ids_g = ids[idx]
-        emit(ids_g[:, iu0].ravel(), ids_g[:, iu1].ravel(), sc.ravel())
+        n_pairs = len(iu0)
+        g_max = max(1, int(pair_budget_bytes
+                           // max(1, n_pairs * d_width * 8 * 3)))
+        for c0 in range(0, len(sel), g_max):
+            sub = sel[c0:c0 + g_max]
+            idx = starts[sub][:, None] + np.arange(s_val)[None, :]
+            sig_g = sig[idx]                       # (G, s, d)
+            sc = pair_score(sig_g[:, iu0, :], sig_g[:, iu1, :])   # (G, P)
+            ids_g = ids[idx]
+            emit(ids_g[:, iu0].ravel(), ids_g[:, iu1].ravel(), sc.ravel())
 
     # pathological buckets: truncate loudly, handle individually
     for gi in np.flatnonzero(big):

@@ -12,9 +12,18 @@ and the cleaned remainder is written as the fixed dataset.  Both writes
 are partitioned parquet.
 
 ONE streaming pass: each task splits its batch with a vectorized
-``pc.is_in`` and writes both sides itself (uuid-named parquet parts), so
-the table is scanned once and counts come back as the pass's tiny output
-— no second scan, no re-read of the sinks.
+``pc.is_in`` and writes both sides itself, so the table is scanned once
+and counts come back as the pass's tiny output — no second scan, no
+re-read of the sinks.
+
+Retry safety: part filenames derive deterministically from the BATCH
+CONTENT (md5 of the key column's row hashes + row count), and each part
+is written to a dot-tmp file then published with an atomic
+``os.replace`` — a Ray task retry or lineage re-execution of the same
+batch overwrites its own part instead of accumulating uuid-named
+duplicates, and a killed mid-write task never leaves a readable partial
+file.  Non-empty sink directories are refused (``overwrite=True``
+clears them) so reruns can't mix stale parts with new ones.
 
 Scale: the violating-key set is broadcast via ray.put (read once per
 worker from the object store).  With ``bloom=True`` a Bloom filter of
@@ -39,6 +48,19 @@ import ray
 import ray.data
 
 
+def _prepare_sink_dir(path: str, overwrite: bool) -> None:
+    os.makedirs(path, exist_ok=True)
+    stale = glob.glob(os.path.join(path, "*.parquet"))
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"quarantine sink {path!r} already holds {len(stale)} parquet "
+                "part(s); pass overwrite=True to clear it, or point at an "
+                "empty directory (mixing runs corrupts the sink counts)")
+        for f in stale:
+            os.remove(f)
+
+
 def quarantine(
     ds: "ray.data.Dataset",
     violating_keys: Iterable,
@@ -47,6 +69,7 @@ def quarantine(
     quarantine_dir: str,
     bloom: bool = False,
     bloom_bits: int = 1 << 22,
+    overwrite: bool = False,
 ) -> dict:
     """Split ``ds`` on membership of ``key_column`` in ``violating_keys``;
     write both sides in one pass; return counts."""
@@ -59,8 +82,8 @@ def quarantine(
         bf = BloomFilter(n_bits=bloom_bits)
         bf.update(np.asarray(keys))
         bloom_ref = ray.put(bf.to_bytes())
-    os.makedirs(clean_dir, exist_ok=True)
-    os.makedirs(quarantine_dir, exist_ok=True)
+    _prepare_sink_dir(clean_dir, overwrite)
+    _prepare_sink_dir(quarantine_dir, overwrite)
 
     class SplitWriter:
         """Splitter state (exact key array + optional Bloom) is built
@@ -93,13 +116,27 @@ def quarantine(
             mask = pa.array(bad_mask)
             bad = batch.filter(mask)
             clean = batch.filter(pc.invert(mask))
-            part = uuid.uuid4().hex
+            # part name = content hash of the batch identity: a retried
+            # task re-derives the SAME name and atomically overwrites
+            import hashlib
+
+            import pandas as pd
+            row_h = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False).to_numpy()
+            part = hashlib.md5(
+                row_h.tobytes() + batch.num_rows.to_bytes(8, "little")
+            ).hexdigest()[:16]
+
+            def publish(tbl: pa.Table, out_dir: str) -> None:
+                import pyarrow.parquet as pq
+                tmp = os.path.join(out_dir, f".tmp-{part}-{uuid.uuid4().hex[:6]}")
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, os.path.join(out_dir, f"part-{part}.parquet"))
+
             if clean.num_rows:
-                import pyarrow.parquet as pq
-                pq.write_table(clean, os.path.join(clean_dir, f"part-{part}.parquet"))
+                publish(clean, clean_dir)
             if bad.num_rows:
-                import pyarrow.parquet as pq
-                pq.write_table(bad, os.path.join(quarantine_dir, f"part-{part}.parquet"))
+                publish(bad, quarantine_dir)
             return pa.table({"n_clean": pa.array([clean.num_rows], type=pa.int64()),
                              "n_quarantined": pa.array([bad.num_rows], type=pa.int64())})
 

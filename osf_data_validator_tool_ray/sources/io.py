@@ -51,13 +51,25 @@ def _cache_fsspec_http_import() -> None:
             try:
                 __import__(name)
             except ImportError:
-                sys.modules[name] = types.ModuleType(name)
+                stub = types.ModuleType(name)
+                stub.__doc__ = ("placeholder injected transiently by "
+                                "osf_data_validator_tool_ray.sources.io "
+                                "to cache the fsspec http import")
+                sys.modules[name] = stub
                 injected.append(name)
     try:
         import fsspec.implementations.http  # noqa: F401
     except Exception:
-        for name in injected:       # stubs insufficient — undo
-            del sys.modules[name]
+        pass
+    finally:
+        # the stubs exist ONLY for the duration of the fsspec import:
+        # leaving them in sys.modules would make a later genuine
+        # `import aiohttp` silently yield an empty module (confusing
+        # AttributeErrors at call time) instead of a clean ImportError.
+        # fsspec.implementations.http keeps its own reference, so the
+        # cached entry stays valid after the stubs are dropped.
+        for name in injected:
+            sys.modules.pop(name, None)
 
 
 _cache_fsspec_http_import()

@@ -85,6 +85,130 @@ def test_hash_join_big_right_still_works():
 
 
 # ---------------------------------------------------------------------------
+# advice — sliding-window oracle must floor-divide for negative epochs
+# ---------------------------------------------------------------------------
+
+def test_sliding_windows_negative_epoch_matches_oracle():
+    import duckdb
+
+    from osf_data_validator_tool_ray.pipelines.streaming import (
+        sliding_windows)
+
+    # pre-1970 plus around-zero timestamps: truncation vs floor differ
+    ts = pd.to_datetime([-130_000_000, -90_000_001, -1, 0, 1,
+                         29_999_999, 30_000_000, 95_000_000], unit="us")
+    events = pd.DataFrame({"user_id": [1] * len(ts), "ts": ts,
+                           "value": np.arange(len(ts), dtype=np.float64)})
+    got = sliding_windows(ray.data.from_pandas(events).repartition(2),
+                          "user_id", "ts", window_s=90, slide_s=30,
+                          value_col="value").to_pandas()
+    want = duckdb.sql("""
+        SELECT user_id, window_id, COUNT(*) AS n, SUM(value) AS sum_value
+        FROM (SELECT user_id, value,
+                     UNNEST(generate_series(
+                        CAST(floor((epoch_us(ts) - 90000000)/30000000.0) AS BIGINT) + 1,
+                        CAST(floor(epoch_us(ts)/30000000.0) AS BIGINT))) AS window_id
+              FROM events)
+        GROUP BY user_id, window_id
+    """).df()
+    g = got.sort_values("window_id").reset_index(drop=True)
+    w = want.sort_values("window_id").reset_index(drop=True)
+    assert g["window_id"].tolist() == w["window_id"].tolist()
+    assert g["n"].astype(int).tolist() == w["n"].astype(int).tolist()
+    assert np.allclose(g["sum_value"], w["sum_value"])
+
+
+# ---------------------------------------------------------------------------
+# advice — fsspec import stubs must not linger in sys.modules
+# ---------------------------------------------------------------------------
+
+def test_fsspec_stub_modules_not_left_behind():
+    import importlib
+    import sys
+
+    from osf_data_validator_tool_ray.sources.io import (
+        _cache_fsspec_http_import)
+
+    _cache_fsspec_http_import()
+    # the cached fsspec entry is the whole point...
+    assert "fsspec.implementations.http" in sys.modules
+    # ...but absent deps must NOT be masked by empty stubs: a genuine
+    # import should raise ImportError, not yield an attribute-less module
+    for name in ("aiohttp", "yarl"):
+        if name in sys.modules and not hasattr(sys.modules[name], "__file__"):
+            raise AssertionError(f"stub module {name} left in sys.modules")
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            pass            # clean failure is the correct outcome
+        else:
+            assert hasattr(sys.modules[name], "__file__")   # real package
+
+
+# ---------------------------------------------------------------------------
+# advice — _vector_bucket_pairs transient memory bounded by a byte budget
+# ---------------------------------------------------------------------------
+
+def test_vector_bucket_pairs_chunked_matches_unchunked():
+    from osf_data_validator_tool_ray.checks.dedup import _vector_bucket_pairs
+
+    rng = np.random.default_rng(3)
+    # many equal-size buckets (the advice scenario: G unbounded)
+    n_buckets, bucket_size, d = 60, 7, 16
+    n = n_buckets * bucket_size
+    df = pd.DataFrame({
+        "band_id": np.repeat(np.arange(n_buckets) % 4, bucket_size),
+        "band_key": np.repeat(np.arange(n_buckets), bucket_size),
+        "doc_id": rng.permutation(n),
+    })
+    sig = rng.integers(0, 4, size=(n, d)).astype(np.uint64)
+    args = (df, ["band_id", "band_key"], "doc_id", sig,
+            lambda sa, sb: (sa == sb).mean(axis=-1),
+            lambda s: s >= 0.3, 10_000, "test")
+    ia1, ib1, sc1 = _vector_bucket_pairs(*args)
+    # 1-byte budget forces one bucket-group per chunk
+    ia2, ib2, sc2 = _vector_bucket_pairs(*args, pair_budget_bytes=1)
+    key = lambda ia, ib, sc: sorted(zip(ia.tolist(), ib.tolist(),
+                                        np.round(sc, 9).tolist()))
+    assert key(ia1, ib1, sc1) == key(ia2, ib2, sc2)
+    assert len(ia1) > 0
+
+
+# ---------------------------------------------------------------------------
+# advice — quarantine sinks: deterministic part names, stale-dir refusal
+# ---------------------------------------------------------------------------
+
+def test_quarantine_parts_deterministic_and_stale_refused(tmp_path):
+    import glob
+    import os
+
+    from osf_data_validator_tool_ray.pipelines.fix import (
+        quarantine, quarantine_counts_from_footers)
+
+    df = pd.DataFrame({"k": [f"id{i}" for i in range(500)],
+                       "v": np.arange(500)})
+    bad = [f"id{i}" for i in range(0, 500, 7)]
+    c, q = str(tmp_path / "c"), str(tmp_path / "q")
+    ds = ray.data.from_pandas(df).repartition(4)
+    res1 = quarantine(ds, bad, "k", c, q)
+    names1 = sorted(os.path.basename(f) for f in glob.glob(c + "/*.parquet"))
+
+    # rerun into the same dirs without overwrite => refused (no mixing)
+    with pytest.raises(FileExistsError):
+        quarantine(ray.data.from_pandas(df).repartition(4), bad, "k", c, q)
+
+    # overwrite rerun: identical content-derived part names, same counts,
+    # sink row counts == returned counts (a retry overwrites, never adds)
+    res2 = quarantine(ray.data.from_pandas(df).repartition(4), bad, "k",
+                      c, q, overwrite=True)
+    names2 = sorted(os.path.basename(f) for f in glob.glob(c + "/*.parquet"))
+    assert names1 == names2
+    assert res1["n_clean"] == res2["n_clean"] == 500 - len(bad)
+    assert quarantine_counts_from_footers(c) == res2["n_clean"]
+    assert quarantine_counts_from_footers(q) == res2["n_quarantined"]
+
+
+# ---------------------------------------------------------------------------
 # advice — deterministic_sample must not wrap for ids >= 2^31
 # ---------------------------------------------------------------------------
 
