@@ -91,7 +91,6 @@ def _partition_task(
     task fan-out IS the parallelism."""
     import pyarrow.parquet as pq
 
-    from ..checks.base import empty_violations
     from ..stages.decode_stage import (
         BytesSuitePass, combined_ext_partials, combined_violations)
 
@@ -126,51 +125,77 @@ def _partition_task(
     do_partials = bool(key and (cards or meta_exts) and key in names)
     agg = _PartialAggregator(key, cards, meta_exts) if do_partials else None
 
-    viols: list[pa.Table] = []
-    partials: list[pa.Table] = []
+    class _ArtifactStream:
+        """Incremental artifact writer: each appended table flushes
+        straight into an open ParquetWriter, so a pathological
+        partition (every row violating) holds at most one BATCH of
+        violations in task memory, never the partition's whole
+        violation set (round-2 verdict item #8)."""
+
+        def __init__(self, suffix: str):
+            self.dir = tmp_base + suffix
+            os.makedirs(self.dir, exist_ok=True)
+            self.writer = None
+            self.schema = None
+            self.n = 0
+
+        def append(self, tbl: pa.Table) -> None:
+            if tbl.num_rows == 0:
+                return
+            if self.writer is None:
+                self.schema = tbl.schema
+                self.writer = pq.ParquetWriter(
+                    os.path.join(self.dir, "part-0.parquet"), self.schema)
+            if tbl.schema != self.schema:
+                tbl = tbl.select(self.schema.names).cast(self.schema)
+            self.writer.write_table(tbl)
+            self.n += tbl.num_rows
+
+        def publish(self, kind: str) -> None:
+            if self.writer is not None:
+                self.writer.close()
+            store.publish_artifact(pid, kind, self.dir)
+
+    import pyarrow.compute as pc
+
+    viol_stream = _ArtifactStream("_violations")
+    part_stream = _ArtifactStream("_partials") if agg is not None else None
+    n_err = n_warn = 0
+
+    def _add_viol(tbl: pa.Table) -> None:
+        nonlocal n_err, n_warn
+        if tbl.num_rows:
+            sev = tbl.column("severity")
+            n_err += pc.sum(pc.cast(pc.equal(sev, "error"),
+                                    pa.int64())).as_py() or 0
+            n_warn += pc.sum(pc.cast(pc.equal(sev, "warning"),
+                                     pa.int64())).as_py() or 0
+        viol_stream.append(tbl)
+
     if meta_cols:
         for rb in pf.iter_batches(batch_size=batch_size or 65536,
                                   columns=meta_cols):
             t = pa.Table.from_batches([rb])
-            viols.append(sl(t.select([c for c in sl_cols if c in t.column_names])))
+            _add_viol(sl(t.select([c for c in sl_cols if c in t.column_names])))
             if agg is not None:
-                partials.append(agg(t))
+                part_stream.append(agg(t))
 
-    def _write_artifact(tables: list[pa.Table], suffix: str, kind: str,
-                        empty: Optional[pa.Table] = None) -> pa.Table:
-        tbl = (pa.concat_tables(tables).combine_chunks() if tables
-               else (empty if empty is not None else empty_violations()))
-        tmp = tmp_base + suffix
-        os.makedirs(tmp, exist_ok=True)
-        if tbl.num_rows:
-            pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
-        store.publish_artifact(pid, kind, tmp)
-        return tbl
-
-    ext_parts: list[pa.Table] = []
     if have_bytes:
         # decode=True: ONE streamed scan of the payload column; small
         # batches keep the wide bytes rows within the task heap
         bp = BytesSuitePass(universal_predicates=declared_universals)
         bytes_cols = [c for c in _BYTES_COLS if c in names]
+        ext_stream = _ArtifactStream("_extpartials")
         for rb in pf.iter_batches(batch_size=256, columns=bytes_cols):
             comb = bp(pa.Table.from_batches([rb]))
-            viols.append(combined_violations(comb))
-            ext_parts.append(combined_ext_partials(comb))
-        _write_artifact(ext_parts, "_extpartials", "ext_partials",
-                        empty=pa.table({"key": pa.array([], type=pa.string()),
-                                        "_ext_n": pa.array([], type=pa.int64())}))
+            _add_viol(combined_violations(comb))
+            ext_stream.append(combined_ext_partials(comb))
+        ext_stream.publish("ext_partials")
 
-    viol_t = _write_artifact(viols, "_violations", "violations")
-    if agg is not None:
-        _write_artifact(partials, "_partials", "partials",
-                        empty=pa.schema([]).empty_table())
+    viol_stream.publish("violations")
+    if part_stream is not None:
+        part_stream.publish("partials")
 
-    # per-partition verdict directly from the in-memory result (errors
-    # fail, warnings don't)
-    sev = viol_t.column("severity").to_pylist() if viol_t.num_rows else []
-    n_err = sum(1 for s in sev if s == "error")
-    n_warn = sum(1 for s in sev if s == "warning")
     metrics = {"n_rows": n_rows, "lineage": path,
                "n_violations": n_err, "n_warnings": n_warn,
                "pass": n_err == 0, "runtime_s": time.time() - t0}

@@ -363,11 +363,20 @@ def _asof_join_presplit(
             .to_numpy(zero_copy_only=False)
         return np.floor_divide(ts, chunk_us)
 
+    def _compose_kc(key_col, chunk_arr: "pa.Array") -> "pa.Array":
+        # Arrow-native composite build (no per-row pandas str concat on
+        # the hot path — round-2 verdict item #9).  Strings, not a
+        # 64-bit hash: a hash collision would silently merge two
+        # (key, chunk) groups and corrupt the join; the exchange cost
+        # of the slightly wider key is negligible next to the payload.
+        return pc.binary_join_element_wise(
+            pc.cast(key_col, pa.string()),
+            pc.cast(chunk_arr, pa.string()), "|")
+
     def _with_kc(t: pa.Table, ts_col: str) -> pa.Table:
         ch = _chunks_of(t, ts_col)
-        kvals = t.column(key).to_pandas().astype(str)
-        kc = kvals + "|" + pd.Series(ch).astype(str)
-        return t.append_column("__kc", pa.array(kc, type=pa.string()))
+        kc = _compose_kc(t.column(key), pa.array(ch, type=pa.int64()))
+        return t.append_column("__kc", kc)
 
     # ---- right per-(key, chunk) latest-row summaries (argmax) ----------
     def r_partial(t: pa.Table) -> pa.Table:
@@ -449,10 +458,8 @@ def _asof_join_presplit(
 
     # ---- per-chunk join via the plain path on the composite key --------
     def r_with_given_kc(t: pa.Table) -> pa.Table:
-        kvals = t.column(key).to_pandas().astype(str)
-        ch = t.column("_chunk").to_pandas().astype("int64").astype(str)
-        t = t.append_column("__kc", pa.array(kvals + "|" + ch,
-                                             type=pa.string()))
+        ch = pc.cast(t.column("_chunk"), pa.int64())
+        t = t.append_column("__kc", _compose_kc(t.column(key), ch))
         return t.select(rcols + ["__kc"])
 
     left2 = left.map_batches(lambda t: _with_kc(t, left_ts),

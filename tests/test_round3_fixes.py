@@ -3,6 +3,8 @@ round 3 (distinct_counts gating, hash_join sparse-right guard,
 deterministic_sample uint64, quarantine retry-safe sinks, bucket-pair
 memory budget, as-of int64 composite keys, partition streaming writes)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -82,6 +84,43 @@ def test_hash_join_big_right_still_works():
     want = left.merge(right, on="k")
     assert len(got) == len(want)
     assert got["y"].sum() == want["y"].sum()
+
+
+# ---------------------------------------------------------------------------
+# verdict #8 — partition artifacts stream through ParquetWriter
+# ---------------------------------------------------------------------------
+
+def test_partitioned_all_violating_streams_incrementally(tmp_path):
+    """A pathological partition where EVERY row violates must flush
+    violations batch-by-batch (multiple parquet row groups), not
+    accumulate the whole violation set in a task-heap list."""
+    import pyarrow.parquet as pq
+
+    from osf_data_validator_tool_ray.pipelines.partitioned import (
+        validate_partitioned)
+    from osf_data_validator_tool_ray.spec import clips_spec
+    from osf_data_validator_tool_ray.state.checkpoint import CheckpointStore
+    from osf_data_validator_tool_ray.synth import write_clips_dataset
+
+    meta = write_clips_dataset(str(tmp_path / "clips"), n_rows=300, seed=1,
+                               defect_rate=0.0, num_shards=1)
+    # corrupt every row: negative duration violates the facet bound
+    src = pq.read_table(meta["clips_dir"] + "/part-00000.parquet")
+    bad = src.set_column(src.schema.get_field_index("dur_ms"), "dur_ms",
+                         pa.array([-5] * src.num_rows, type=pa.int32()))
+    part_dir = tmp_path / "badclips"
+    part_dir.mkdir()
+    pq.write_table(bad, str(part_dir / "part-00000.parquet"))
+
+    store = CheckpointStore(str(tmp_path / "store"))
+    rep = validate_partitioned(str(part_dir / "*.parquet"), clips_spec(),
+                               store, decode=False, batch_size=64)
+    assert sum(rep["violations"].values()) >= 300
+    [vdir] = store.artifact_dirs("violations")
+    [f] = [os.path.join(vdir, x) for x in os.listdir(vdir)]
+    pf = pq.ParquetFile(f)
+    assert pf.num_row_groups >= 4          # one row group per flushed batch
+    assert pf.metadata.num_rows >= 300
 
 
 # ---------------------------------------------------------------------------
