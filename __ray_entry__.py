@@ -463,6 +463,44 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_ngram_jaccard_exact(sf_dir: str):
+    """Exact character-5-gram Jaccard over a deterministic modulo-sample
+    of documents — the SQL-ORACLED half of the Jaccard surface (round-2
+    verdict item #6): the DuckDB oracle rebuilds the same distinct-5-gram
+    sets with substr/generate_series and checks every pair's value.
+
+    The sample ids (doc_id % 41 == 0, len(text) >= 5) are collected on
+    the driver to enumerate the all-pairs candidate list; that list is
+    bounded by the sample size (~sf * 12000 docs), not the corpus — the
+    texts themselves stay distributed (exact_jaccard_for_pairs broadcasts
+    ids and shingles inside map_batches)."""
+    import itertools
+
+    from osf_data_validator_tool_ray.checks.dedup import (
+        exact_jaccard_for_pairs)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 41 == 0) & (ln >= 5)))
+
+    sampled = docs.map_batches(sample, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    ids = sorted(sampled.select_columns(["doc_id"]).to_pandas()["doc_id"])
+    pairs = pd.DataFrame(itertools.combinations(ids, 2),
+                         columns=["id_a", "id_b"])
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    out = exact_jaccard_for_pairs(sampled, pairs, "text", "doc_id",
+                                  shingle_k=5)
+    return out[["id_a", "id_b", "jaccard"]]
+
+
 def _q_sliding_windows(sf_dir: str):
     """Hopping-window aggregate (90s window, 30s slide): each event in 3
     windows; two-phase grouped aggregate over the expanded rows."""
@@ -816,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -973,6 +1012,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS key, text AS observed
             FROM documents
             WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 450
+        """,
+        "ngram_jaccard_exact": """
+            -- distinct 5-char shingle sets per sampled doc, then exact
+            -- Jaccard for every pair (ASCII: char substr == byte window)
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 41 = 0 AND length(text) >= 5
+            ), g AS (
+                SELECT DISTINCT d.doc_id,
+                       substr(d.text, gs.i::INTEGER, 5) AS gram
+                FROM d, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, length(d.text) - 4)) AS i) gs
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_int
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                   COALESCE(i.n_int, 0)::DOUBLE
+                   / (sa.n + sb.n - COALESCE(i.n_int, 0)) AS jaccard
+            FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+            LEFT JOIN inter i
+              ON i.id_a = sa.doc_id AND i.id_b = sb.doc_id
         """,
         "sliding_windows": """
             -- floor() like the tumbling oracle: the x - x %% s form is

@@ -418,7 +418,6 @@ def distinct_counts(
     def partial(batch: pa.Table) -> pa.Table:
         # long format, one typed value column per input column (padded
         # with nulls to a common length) so ONE pass covers all columns
-        # and the materialized size is gateable
         uniq = {c: pd.unique(batch.column(c).to_pandas().dropna())
                 for c in cols}
         width = max((len(u) for u in uniq.values()), default=0)
@@ -432,24 +431,40 @@ def distinct_counts(
         return pa.table(out)
 
     parts = ds.select_columns(cols).map_batches(
-        partial, batch_format="pyarrow", batch_size=None).materialize()
+        partial, batch_format="pyarrow", batch_size=None)
 
-    if fits_driver_merge(parts, threshold):
-        sets: dict[str, set] = {c: set() for c in cols}
-        for b in parts.iter_batches(batch_format="pyarrow"):
-            for c in cols:
-                vals = b.column(c).drop_null()
-                sets[c].update(vals.to_pylist())
+    # stream the partials ONCE, gating AS we merge: the moment any
+    # column's set passes the row threshold or the partial bytes pass
+    # the byte cap, abandon the driver merge (no materialize() — the
+    # common path costs a single Dataset execution, like every other
+    # streaming consumer here)
+    sets: "Optional[dict[str, set]]" = {c: set() for c in cols}
+    bytes_acc = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        bytes_acc += b.nbytes
+        for c in cols:
+            sets[c].update(b.column(c).drop_null().to_pylist())
+        if (bytes_acc > DRIVER_MERGE_MAX_BYTES
+                or max(len(s) for s in sets.values()) > threshold):
+            sets = None
+            break
+    if sets is not None:
         return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64())
                          for c in cols})
 
-    # overflow: per-column groupby over its OWN partial values — the
-    # number of groups IS the distinct count; no driver set
+    # overflow: per-column groupby over its own per-batch-distinct
+    # partials — the number of groups IS the distinct count; the
+    # exchange moves partial values, never raw rows, and no driver set
     from ..checks.cardinality import coalesce_partials
+
+    def col_partial(batch: pa.Table, c: str) -> pa.Table:
+        u = pd.unique(batch.column(c).to_pandas().dropna())
+        return pa.table({c: pa.array(u, type=batch.schema.field(c).type)})
+
     counts = {}
     for c in cols:
-        col_parts = parts.map_batches(
-            lambda t, c=c: t.select([c]).drop_null(),
+        col_parts = ds.select_columns([c]).map_batches(
+            lambda t, c=c: col_partial(t, c),
             batch_format="pyarrow", batch_size=None)
         grouped = coalesce_partials(col_parts).groupby(c) \
             .aggregate(Count(alias_name="_c"))

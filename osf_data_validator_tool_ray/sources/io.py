@@ -95,10 +95,43 @@ def read_table(
 
 
 def partition_files(path: str) -> list[str]:
-    """The partition (fragment) list of a table — the resume unit."""
+    """The partition (fragment) list of a table — the resume unit.
+
+    For Lance tables each FRAGMENT is a partition: the returned ids are
+    ``<path>#<fragment_id>`` strings so the checkpoint store's lineage
+    records stay one-string-per-partition (same contract as parquet
+    file paths)."""
+    if HAVE_LANCE and path.endswith(".lance"):
+        import lance
+        ds = lance.dataset(path)
+        return [f"{path}#{frag.fragment_id}" for frag in ds.get_fragments()]
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.parquet")))
     return sorted(glob.glob(path))
+
+
+def iter_partition_batches(partition: str, batch_size: int = 65536,
+                           columns: Optional[Sequence[str]] = None):
+    """Stream one partition's record batches (the per-partition scan the
+    partitioned pipeline uses).  Accepts a parquet file path or a Lance
+    ``<path>#<fragment_id>`` partition id — the Lance side reads ONLY
+    that fragment (projection pushed down), proving the
+    fragment -> partition lineage mapping end-to-end."""
+    if "#" in partition and partition.rsplit("#", 1)[0].endswith(".lance"):
+        if not HAVE_LANCE:
+            raise ImportError("pylance not available for Lance partition "
+                              f"{partition!r}")
+        import lance
+        path, frag_id = partition.rsplit("#", 1)
+        ds = lance.dataset(path)
+        frag = ds.get_fragment(int(frag_id))
+        yield from frag.to_batches(columns=list(columns) if columns else None,
+                                   batch_size=batch_size)
+        return
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(partition)
+    yield from pf.iter_batches(batch_size=batch_size,
+                               columns=list(columns) if columns else None)
 
 
 def write_violations(ds: "ray.data.Dataset", out_dir: str) -> str:
