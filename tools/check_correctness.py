@@ -45,8 +45,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import ray
     if not ray.is_initialized():
@@ -71,16 +78,27 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(got)} cols={sorted(got.columns)} (no oracle)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(got),
+                             "oracle_rows": None, "err": None,
+                             "weak": "no SQL oracle (rows-only)"}
             n_weak += 1
             continue
         want = con.execute(oracles[name]).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(got),
+                         "oracle_rows": len(want), "err": None}
         if ok_hash:
             print(f"PASS  {name}: rows={len(got)}")
             n_pass += 1
@@ -93,6 +111,11 @@ def main():
                 print("   first diffs:\n", g[neq].head(3), "\n  vs\n", w[neq].head(3))
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} entries)")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
