@@ -421,6 +421,66 @@ def _q_heavy_hitters(sf_dir: str):
     return pd.DataFrame({"event_type": cats, "est_count": est.astype("int64")})
 
 
+def _q_heavy_hitters_verified(sf_dir: str):
+    """Sketch-then-verify heavy hitters (the scale pattern that makes a
+    sketch SQL-checkable): Count-Min flags candidate event_types with
+    estimated count >= total//5 — a SUPERSET of the truth, CMS never
+    underestimates — then ONE exact filtered grouped count confirms.
+    The verified output equals plain GROUP BY ... HAVING in SQL."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import CountMin
+    from osf_data_validator_tool_ray.pipelines.relational import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type"]).materialize()
+    thresh = ds.count() // 5
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = CountMin()
+        c.update(batch.column("event_type").to_pandas())
+        return pa.table({"sketch": pa.array([c.to_bytes()], type=pa.binary())})
+
+    merged = CountMin()
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(batch_format="pyarrow"):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(CountMin.from_bytes(s))
+    cats = ["click", "view", "purchase", "signup", "error"]
+    est = merged.query(pd.Series(cats))
+    cand = [c for c, e in zip(cats, est) if e >= thresh]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                          "n": pd.Series(dtype="int64")})
+    if not cand:
+        return empty
+    cand_arr = pa.array(cand)
+
+    def only_cand(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("event_type"),
+                                 value_set=cand_arr))
+
+    counts = grouped_agg(
+        ds.map_batches(only_cand, batch_format="pyarrow", batch_size=None),
+        "event_type", {"n": ("event_type", "count")}).to_pandas()
+    out = counts[counts["n"] >= thresh][["event_type", "n"]]
+    return out if len(out) else empty
+
+
+def _q_jaccard_clusters(sf_dir: str):
+    """Near-dup connected components over the SQL-expressible exact
+    Jaccard pairs (modulo sample, threshold 0.2): exercises the real
+    near_dup_clusters operator on an input whose oracle replays the
+    pairs in SQL and resolves components with a recursive CTE."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.checks.dedup import near_dup_clusters
+
+    pairs_df = _q_ngram_jaccard_exact(sf_dir)
+    pairs_df = pairs_df[pairs_df["jaccard"] >= 0.2]
+    if pairs_df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    pairs = ray.data.from_pandas(pairs_df[["id_a", "id_b"]].reset_index(drop=True))
+    return near_dup_clusters(pairs)
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable streaming-histogram quantiles of l_extendedprice
     (no oracle — approximate)."""
@@ -852,6 +912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": _q_topk_per_group,
         "hll_distinct": _q_hll_distinct,
         "heavy_hitters": _q_heavy_hitters,
+        "heavy_hitters_verified": _q_heavy_hitters_verified,
+        "jaccard_clusters": _q_jaccard_clusters,
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_jaccard_exact": _q_ngram_jaccard_exact,
@@ -1012,6 +1074,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS key, text AS observed
             FROM documents
             WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 450
+        """,
+        "heavy_hitters_verified": """
+            -- the engine's CMS candidates are a superset (CMS never
+            -- underestimates); its exact verify pass reduces to HAVING
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type
+            HAVING COUNT(*) >= (SELECT COUNT(*) // 5 FROM events)
+        """,
+        "jaccard_clusters": """
+            -- replay the modulo-sample exact-Jaccard pairs, then resolve
+            -- connected components with a recursive CTE (cluster_id =
+            -- min doc id of the component, the engine's label rule)
+            WITH RECURSIVE d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 41 = 0 AND length(text) >= 5
+            ), g AS (
+                SELECT DISTINCT d.doc_id,
+                       substr(d.text, gs.i::INTEGER, 5) AS gram
+                FROM d, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, length(d.text) - 4)) AS i) gs
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_int
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= 0.2
+            ), bidir AS (
+                SELECT id_a AS u, id_b AS v FROM edges
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM edges
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM bidir
+            ), walk(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster_id
+            FROM walk GROUP BY id
         """,
         "ngram_jaccard_exact": """
             -- distinct 5-char shingle sets per sampled doc, then exact
