@@ -481,6 +481,19 @@ def _q_jaccard_clusters(sf_dir: str):
     return near_dup_clusters(pairs)
 
 
+def _q_ks_exact(sf_dir: str):
+    """Exact two-sample KS between l_quantity distributions of returnflag
+    'A' vs 'R' — the SQL-checkable tier of the drift family (count
+    partials per distinct value, tiny driver merge; the sketch tier is
+    drift_check)."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.checks.drift import exact_ks
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+    ks = exact_ks(ds, "l_quantity", "l_returnflag", "A", "R")
+    return pd.DataFrame({"ks": [ks]})
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable streaming-histogram quantiles of l_extendedprice
     (no oracle — approximate)."""
@@ -913,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_verified": _q_heavy_hitters_verified,
+        "ks_exact": _q_ks_exact,
         "jaccard_clusters": _q_jaccard_clusters,
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1081,6 +1095,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n FROM events
             GROUP BY event_type
             HAVING COUNT(*) >= (SELECT COUNT(*) // 5 FROM events)
+        """,
+        "ks_exact": """
+            -- exact two-sample KS: cumulative window sums over the
+            -- value order give both ECDFs (peers included), max |diff|
+            WITH u AS (
+                SELECT l_quantity AS v,
+                       CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ib
+                FROM lineitem
+                WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+            ), e AS (
+                SELECT SUM(ia) OVER (ORDER BY v)::DOUBLE
+                       / (SELECT SUM(ia) FROM u) AS fa,
+                       SUM(ib) OVER (ORDER BY v)::DOUBLE
+                       / (SELECT SUM(ib) FROM u) AS fb
+                FROM u
+            )
+            SELECT MAX(ABS(fa - fb)) AS ks FROM e
         """,
         "jaccard_clusters": """
             -- replay the modulo-sample exact-Jaccard pairs, then resolve

@@ -34,6 +34,59 @@ from ..checks.base import empty_violations, make_violations
 from ..stages.base_ids import DRIFT_100
 
 
+def exact_ks(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> float:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the rows
+    where ``side_col == side_a`` and ``side_col == side_b`` — the
+    SQL-checkable tier of the drift family (the sketch tier above is
+    the unbounded-cardinality path).
+
+    ONE map_batches pass emits per-batch (value, n_a, n_b) count
+    partials — bounded by the column's distinct-value count per batch,
+    never its row count — then a tiny driver merge sorts the distinct
+    values and takes max |ECDF_a - ECDF_b|.  Suited to discrete /
+    low-cardinality numeric columns (enum codes, quantized measures);
+    for continuous columns use the StreamHist KS above."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": batch.column(value_col).to_pandas(),
+            "a": (batch.column(side_col).to_pandas() == side_a)
+            .astype("int64"),
+            "b": (batch.column(side_col).to_pandas() == side_b)
+            .astype("int64"),
+        }).dropna(subset=["v"])
+        agg = df.groupby("v", sort=False)[["a", "b"]].sum().reset_index()
+        return pa.Table.from_pandas(agg[(agg.a > 0) | (agg.b > 0)],
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.select_columns([value_col, side_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    merged: dict = {}
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        for v, na, nb in zip(t.column("v").to_pylist(),
+                             t.column("a").to_pylist(),
+                             t.column("b").to_pylist()):
+            ca, cb = merged.get(v, (0, 0))
+            merged[v] = (ca + na, cb + nb)
+    if not merged:
+        return 0.0
+    vals = np.array(sorted(merged))
+    na = np.array([merged[v][0] for v in vals], dtype=np.float64)
+    nb = np.array([merged[v][1] for v in vals], dtype=np.float64)
+    ta, tb = na.sum(), nb.sum()
+    if ta == 0 or tb == 0:
+        return 0.0
+    return float(np.abs(np.cumsum(na) / ta - np.cumsum(nb) / tb).max())
+
+
 @dataclass
 class TableProfile:
     n_rows: int = 0

@@ -248,6 +248,33 @@ def test_quarantine_parts_deterministic_and_stale_refused(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# exact KS (SQL-checkable drift tier)
+# ---------------------------------------------------------------------------
+
+def test_exact_ks_matches_reference_ecdf():
+    from osf_data_validator_tool_ray.checks.drift import exact_ks
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 20, 3000)
+    b = rng.integers(3, 23, 2000)          # shifted -> real drift
+    df = pd.DataFrame({"v": np.concatenate([a, b]),
+                       "side": ["a"] * len(a) + ["b"] * len(b)})
+    got = exact_ks(ray.data.from_pandas(df).repartition(6),
+                   "v", "side", "a", "b")
+    # reference: ECDF max-diff over the pooled support
+    support = np.unique(df["v"])
+    fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+    want = np.abs(fa - fb).max()
+    assert got == pytest.approx(want, abs=1e-12)
+    assert got > 0.1                        # the shift is detected
+    # partitioning-invariant
+    got2 = exact_ks(ray.data.from_pandas(df).repartition(2),
+                    "v", "side", "a", "b")
+    assert got2 == pytest.approx(got, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
 # advice — deterministic_sample must not wrap for ids >= 2^31
 # ---------------------------------------------------------------------------
 
