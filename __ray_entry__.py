@@ -393,7 +393,7 @@ def _q_hll_distinct(sf_dir: str):
 
     merged = HyperLogLog()
     for b in ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None).iter_batches(batch_format="pyarrow"):
+                            batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(HyperLogLog.from_bytes(s))
     return pd.DataFrame({"approx_distinct_partkey": [int(merged.estimate())]})
@@ -413,7 +413,7 @@ def _q_heavy_hitters(sf_dir: str):
 
     merged = CountMin()
     for b in ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None).iter_batches(batch_format="pyarrow"):
+                            batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(CountMin.from_bytes(s))
     cats = ["click", "view", "purchase", "signup", "error"]
@@ -441,7 +441,7 @@ def _q_heavy_hitters_verified(sf_dir: str):
 
     merged = CountMin()
     for b in ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None).iter_batches(batch_format="pyarrow"):
+                            batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(CountMin.from_bytes(s))
     cats = ["click", "view", "purchase", "signup", "error"]
@@ -494,6 +494,32 @@ def _q_ks_exact(sf_dir: str):
     return pd.DataFrame({"ks": [ks]})
 
 
+def _q_psi_exact(sf_dir: str):
+    """Exact PSI between the event_type distributions of even vs odd
+    user_id — categorical frequency tables are exact (not sketched), so
+    the drift score itself is SQL-checkable; one combiner grouped count
+    per (category, side), PSI on the driver over ~|categories| rows."""
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import freq_table_psi
+    from osf_data_validator_tool_ray.pipelines.relational import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def with_side(t: pa.Table) -> pa.Table:
+        side = pc.cast(pc.bit_wise_and(t.column("user_id"), 1), pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "_side": side})
+
+    counts = grouped_agg(
+        ds.map_batches(with_side, batch_format="pyarrow", batch_size=None),
+        ["event_type", "_side"], {"n": ("event_type", "count")}).to_pandas()
+    expected = dict(counts[counts["_side"] == 0]
+                    .set_index("event_type")["n"])
+    actual = dict(counts[counts["_side"] == 1]
+                  .set_index("event_type")["n"])
+    return pd.DataFrame({"psi": [freq_table_psi(expected, actual)]})
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable streaming-histogram quantiles of l_extendedprice
     (no oracle — approximate)."""
@@ -508,7 +534,7 @@ def _q_approx_quantiles(sf_dir: str):
 
     merged = StreamHist()
     for b in ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None).iter_batches(batch_format="pyarrow"):
+                            batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(StreamHist.from_bytes(s))
     qs = [0.1, 0.5, 0.9, 0.99]
@@ -927,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_verified": _q_heavy_hitters_verified,
         "ks_exact": _q_ks_exact,
+        "psi_exact": _q_psi_exact,
         "jaccard_clusters": _q_jaccard_clusters,
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1113,6 +1140,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM u
             )
             SELECT MAX(ABS(fa - fb)) AS ks FROM e
+        """,
+        "psi_exact": """
+            -- mirrors functions.sketches.psi: proportions clipped at
+            -- 1e-6, sum((ap-ep)*ln(ap/ep)) over the category union
+            WITH s AS (
+                SELECT event_type,
+                       SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ne,
+                       SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS na
+                FROM events GROUP BY event_type
+            ), t AS (
+                SELECT GREATEST(ne::DOUBLE
+                           / GREATEST((SELECT SUM(ne) FROM s), 1), 1e-6) AS ep,
+                       GREATEST(na::DOUBLE
+                           / GREATEST((SELECT SUM(na) FROM s), 1), 1e-6) AS ap
+                FROM s
+            )
+            SELECT SUM((ap - ep) * ln(ap / ep)) AS psi FROM t
         """,
         "jaccard_clusters": """
             -- replay the modulo-sample exact-Jaccard pairs, then resolve

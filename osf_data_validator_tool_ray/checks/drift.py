@@ -70,7 +70,7 @@ def exact_ks(
     parts = ds.select_columns([value_col, side_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=None)
     merged: dict = {}
-    for t in parts.iter_batches(batch_format="pyarrow"):
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for v, na, nb in zip(t.column("v").to_pylist(),
                              t.column("a").to_pylist(),
                              t.column("b").to_pylist()):
@@ -146,7 +146,7 @@ def build_profile(
 
     merged = TableProfile()
     parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("profile").to_pylist():
             p = TableProfile.from_json(s)
             merged.n_rows += p.n_rows
@@ -196,7 +196,7 @@ def build_profiles_by_group(
 
     merged: dict[str, TableProfile] = {}
     parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for g, s in zip(b.column("group").to_pylist(),
                         b.column("profile").to_pylist()):
             p = TableProfile.from_json(s)

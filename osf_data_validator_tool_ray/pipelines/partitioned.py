@@ -341,7 +341,7 @@ def validate_partitioned(
 
         parts = [b.to_pandas() for b in all_viol.map_batches(
             count_partial, batch_format="pyarrow",
-            batch_size=None).iter_batches(batch_format="pyarrow")]
+            batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None)]
         counts = (pd.concat(parts, ignore_index=True)
                   .groupby(["check_id", "severity"])["n"].sum().reset_index()
                   if parts else pd.DataFrame(columns=["check_id", "severity", "n"]))

@@ -408,7 +408,7 @@ def distinct_counts(
         merged = {c: HyperLogLog() for c in cols}
         parts = ds.select_columns(cols).map_batches(
             hpartial, batch_format="pyarrow", batch_size=None)
-        for b in parts.iter_batches(batch_format="pyarrow"):
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
             for c in cols:
                 for sk in b.column(c).to_pylist():
                     merged[c].merge(HyperLogLog.from_bytes(sk))
@@ -430,8 +430,11 @@ def distinct_counts(
                 [arr, pa.nulls(width - len(u), type=typ)])
         return pa.table(out)
 
+    # explicit batch_size: parquet reads can yield hundreds of tiny
+    # blocks (row-group granularity); coalescing to 64k-row batches cuts
+    # the per-batch Python overhead ~5x (measured at sf0.1/32cpu)
     parts = ds.select_columns(cols).map_batches(
-        partial, batch_format="pyarrow", batch_size=None)
+        partial, batch_format="pyarrow", batch_size=65536)
 
     # stream the partials ONCE, gating AS we merge: the moment any
     # column's set passes the row threshold or the partial bytes pass
@@ -440,7 +443,7 @@ def distinct_counts(
     # streaming consumer here)
     sets: "Optional[dict[str, set]]" = {c: set() for c in cols}
     bytes_acc = 0
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         bytes_acc += b.nbytes
         for c in cols:
             sets[c].update(b.column(c).drop_null().to_pylist())
