@@ -330,6 +330,25 @@ def _q_ann_topk_lsh(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate cosine top-5 (spherical-k-means coarse quantizer,
+    nprobe closest cells, exact rerank).  No SQL oracle (centroid
+    assignment isn't SQL-expressible); recall vs the oracled brute-force
+    result is gated in pytest
+    (tests/test_dedup_similarity.py::test_ann_ivf_recall_vs_bruteforce)."""
+    import pyarrow.parquet as pq
+    from osf_data_validator_tool_ray.checks.similarity import ann_topk_ivf
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qt.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = ann_topk_ivf(ds, "embedding", "vec_id", queries, k=5,
+                       n_centroids=32, nprobe=8)
+    df = top.to_pandas()
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Embedding near-dup pairs (SRP-LSH bucketed; no SQL oracle)."""
     from osf_data_validator_tool_ray.checks.similarity import embedding_near_dup_pairs
@@ -944,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "windowed_events": _q_windowed_events,
         "session_windows": _q_session_windows,

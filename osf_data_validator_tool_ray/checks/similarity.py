@@ -164,6 +164,83 @@ def ann_topk_lsh(
     return ann_topk_bruteforce(candidates, emb_col, id_col, queries, k)
 
 
+def train_ivf_centroids(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    n_centroids: int = 64,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 17,
+) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means (Lloyd, cosine) on a
+    bounded sample.  The sample and the centroid table are tiny by
+    construction (sample_rows x d floats), so training is a driver-side
+    numpy loop; at fleet scale you train once and persist the centroids
+    like any model artifact."""
+    sample = ds.select_columns([emb_col]).limit(sample_rows).to_pandas()
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    n_c = min(n_centroids, len(m))
+    c = m[rng.choice(len(m), size=n_c, replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=n_c).astype(np.float32)
+        live = counts > 0
+        c[live] = sums[live] / counts[live, None]
+        c = _normalize(c)
+    return c
+
+
+def ann_topk_ivf(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_rows: int = 10_000,
+    seed: int = 17,
+) -> pa.Table:
+    """Approximate top-k via IVF (inverted-file) coarse quantization —
+    the second scale path next to SRP-LSH: every vector belongs to its
+    nearest of ``n_centroids`` spherical-k-means centroids; a query
+    probes only its ``nprobe`` closest centroids' lists, then the exact
+    brute-force rerank runs on that candidate subset.
+
+    Same composition shape as ann_topk_lsh: the centroid table and the
+    probed-centroid set are broadcast ONCE via ray.put; the filter stage
+    assigns each batch row vectorized (one matmul per batch) and keeps
+    probe members; candidates flow into ann_topk_bruteforce's partial
+    top-k merge.  Expected candidate fraction ~ nprobe/n_centroids."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    cents = train_ivf_centroids(ds, emb_col, n_centroids=n_centroids,
+                                sample_rows=sample_rows, seed=seed)
+    nprobe = min(nprobe, len(cents))
+    qsim = q @ cents.T                                   # (nq, n_c)
+    probed = np.unique(
+        np.argpartition(-qsim, nprobe - 1, axis=1)[:, :nprobe])
+
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(probed.astype(np.int64))
+
+    class Filter:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            assign = (m @ self.cents.T).argmax(axis=1)
+            return batch.filter(pa.array(np.isin(assign, self.probe)))
+
+    candidates = ds.select_columns([emb_col, id_col]).map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, _cluster_cpus()))
+    return ann_topk_bruteforce(candidates, emb_col, id_col, queries, k)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str,

@@ -160,3 +160,41 @@ def test_ann_lsh_recall_vs_bruteforce():
         # the query IS row qi: cosine 1.0 must be found (same bucket)
         assert qi in a
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    """Recall gate for the IVF ANN path: nprobe/n_centroids = 8/32 over
+    the driver testdata must reach recall >= 0.6 vs exact brute force,
+    and the self-match (cosine 1.0) must always be found — the query's
+    own vector lies in one of its nprobe closest centroid cells."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qt = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 3)
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qt.column("embedding").to_pylist()])
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ann_topk_bruteforce(ds, "embedding", "vec_id", queries,
+                                k=5).to_pandas()
+    approx = ann_topk_ivf(ds, "embedding", "vec_id", queries, k=5,
+                          n_centroids=32, nprobe=8).to_pandas()
+    recalls = []
+    for qi in sorted(exact.query_id.unique()):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+        assert qi in a
+    assert np.mean(recalls) >= 0.6, recalls
+    # determinism: same seed => identical result
+    again = ann_topk_ivf(ds, "embedding", "vec_id", queries, k=5,
+                         n_centroids=32, nprobe=8).to_pandas()
+    assert again[["query_id", "vec_id"]].values.tolist() == \
+        approx[["query_id", "vec_id"]].values.tolist()
