@@ -178,9 +178,13 @@ def main(argv: list[str] | None = None) -> int:
             bad = v["key"].dropna().unique() if "key" in v.columns else []
         else:
             bad = res.violations.to_pandas()["key"].dropna().unique()
+        # a CLI re-run owns its --fix-dir: clear stale parts rather than
+        # refuse (the library default refuses so programmatic callers
+        # can't silently mix runs)
         report["fix"] = quarantine(ds, list(bad), spec.key_column or "clip_id",
                                    os.path.join(args.fix_dir, "clean"),
-                                   os.path.join(args.fix_dir, "quarantine"))
+                                   os.path.join(args.fix_dir, "quarantine"),
+                                   overwrite=True)
 
     out = json.dumps(report, indent=1, default=str)
     if args.output_json:
