@@ -619,6 +619,38 @@ def _q_ngram_jaccard_exact(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing of documents into 5000-token packs per
+    shard (shard = doc_id % 5, tokens = n_chars): the oracle replays the
+    same greedy fold with a recursive CTE."""
+    from osf_data_validator_tool_ray.pipelines.training import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"grp": pa.array(ids % 5, type=pa.int64()),
+                         "doc_id": pa.array(ids, type=pa.int64()),
+                         "n_tokens": t.column("n_chars").cast(pa.int64())})
+
+    sharded = ds.map_batches(shardify, batch_format="pyarrow",
+                             batch_size=None)
+    return pack_sequences(sharded, "grp", "doc_id", "n_tokens", budget=5000)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum reproducible sampling over documents.lang (en 800‰,
+    es 300‰, default 100‰) — the deterministic_sample hash with a
+    per-stratum rate; SQL-expressible."""
+    from osf_data_validator_tool_ray.pipelines.training import (
+        stratified_sample)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id",
+                             {"en": 800, "es": 300}, default_permille=100)
+
+
 def _q_sliding_windows(sf_dir: str):
     """Hopping-window aggregate (90s window, 30s slide): each event in 3
     windows; two-phase grouped aggregate over the expanded rows."""
@@ -984,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "restriction_lexical": _q_restriction_lexical,
         "sliding_windows": _q_sliding_windows,
         "deterministic_sample": _q_deterministic_sample,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
         "broadcast_join_nation": _q_broadcast_join_nation,
@@ -1269,6 +1303,38 @@ def oracle_sql() -> dict[str, str]:
             -- the engine's uint64 wrap is exact mod 2^32, so they agree
             SELECT doc_id, n_chars FROM documents
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 100
+        """,
+        "pack_sequences": """
+            -- greedy fold replayed as a recursive CTE: one iteration
+            -- per row rank, all shards advance in parallel
+            WITH RECURSIVE d AS (
+                SELECT doc_id % 5 AS grp, doc_id,
+                       n_chars::BIGINT AS n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 5
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), walk AS (
+                SELECT grp, rn, doc_id, n_tokens,
+                       0::BIGINT AS pack_id, n_tokens AS acc
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN w.acc + d.n_tokens <= 5000
+                            THEN w.pack_id ELSE w.pack_id + 1 END,
+                       CASE WHEN w.acc + d.n_tokens <= 5000
+                            THEN w.acc + d.n_tokens ELSE d.n_tokens END
+                FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1
+            )
+            SELECT grp, doc_id, n_tokens, pack_id,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY grp, pack_id)
+                        AS BIGINT) AS pack_tokens
+            FROM walk
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
+                  CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300
+                            ELSE 100 END
         """,
         "text_normalize": """
             SELECT doc_id,

@@ -1,0 +1,81 @@
+"""Sequence packing + stratified sampling (pipelines/training.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from osf_data_validator_tool_ray.pipelines.training import (
+    pack_sequences, stratified_sample)
+
+
+def _greedy_reference(tokens, budget):
+    packs, acc, pid = [], 0, 0
+    for t in tokens:
+        if packs and acc + t <= budget:
+            acc += t
+        else:
+            if packs:
+                pid += 1
+            acc = t
+        packs.append(pid)
+    # first row fix: loop starts pid=0 with empty packs
+    return packs
+
+
+def test_pack_sequences_matches_greedy_reference():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "shard": np.repeat([0, 1, 2], 40),
+        "doc_id": np.arange(120),
+        "n_tokens": rng.integers(10, 900, 120),
+    })
+    # plant an oversized doc: must get its own pack, unsplit
+    df.loc[7, "n_tokens"] = 5000
+    out = pack_sequences(ray.data.from_pandas(df).repartition(4),
+                         "shard", "doc_id", "n_tokens", budget=1000) \
+        .to_pandas().sort_values(["shard", "doc_id"]).reset_index(drop=True)
+
+    for shard, sub in out.groupby("shard"):
+        sub = sub.sort_values("doc_id")
+        want = _greedy_reference(sub["n_tokens"].tolist(), 1000)
+        assert sub["pack_id"].tolist() == want, shard
+        # invariants: packs contiguous from 0; totals respect the budget
+        # except single-doc overflow packs
+        totals = sub.groupby("pack_id")["n_tokens"].sum()
+        sizes = sub.groupby("pack_id").size()
+        over = totals[totals > 1000]
+        assert all(sizes[p] == 1 for p in over.index)
+        assert (sub.groupby("pack_id")["pack_tokens"].first() == totals).all()
+
+    # deterministic across partitionings
+    out2 = pack_sequences(ray.data.from_pandas(df).repartition(9),
+                          "shard", "doc_id", "n_tokens", budget=1000) \
+        .to_pandas().sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_stratified_sample_rates_and_determinism():
+    import duckdb
+
+    n = 30_000
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "lang": rng.choice(["en", "es", "de"], n, p=[0.6, 0.3, 0.1]),
+    })
+    rates = {"en": 800, "es": 300}
+    got = stratified_sample(ray.data.from_pandas(df).repartition(5),
+                            "lang", "doc_id", rates, default_permille=100) \
+        .to_pandas()
+    want = duckdb.sql("""
+        SELECT doc_id, lang FROM df
+        WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
+              CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300 ELSE 100 END
+    """).df()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # realized rates near the configured ones
+    frac_en = (got["lang"] == "en").sum() / (df["lang"] == "en").sum()
+    assert frac_en == pytest.approx(0.8, abs=0.02)
+    frac_de = (got["lang"] == "de").sum() / (df["lang"] == "de").sum()
+    assert frac_de == pytest.approx(0.1, abs=0.02)
