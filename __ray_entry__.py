@@ -651,6 +651,26 @@ def _q_stratified_sample(sf_dir: str):
                              {"en": 800, "es": 300}, default_permille=100)
 
 
+def _q_split_by_group(sf_dir: str):
+    """Group-aware train/val/test split of events keyed on user_id's
+    hash — all events of one user land in one split (no leakage)."""
+    from osf_data_validator_tool_ray.pipelines.training import split_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    return split_by_group(ds, "user_id", "event_id")
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking of documents: 200-char windows every 150
+    chars; the oracle rebuilds the same windows with substr +
+    generate_series."""
+    from osf_data_validator_tool_ray.pipelines.training import (
+        chunk_documents)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", size=200, stride=150)
+
+
 def _q_sliding_windows(sf_dir: str):
     """Hopping-window aggregate (90s window, 30s slide): each event in 3
     windows; two-phase grouped aggregate over the expanded rows."""
@@ -1018,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": _q_deterministic_sample,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "split_by_group": _q_split_by_group,
+        "chunk_documents": _q_chunk_documents,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
         "broadcast_join_nation": _q_broadcast_join_nation,
@@ -1335,6 +1357,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
                   CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300
                             ELSE 100 END
+        """,
+        "split_by_group": """
+            SELECT event_id, user_id, CASE
+                WHEN ((user_id::HUGEINT * 2654435761) % 4294967296)
+                     % 1000 < 800 THEN 'train'
+                WHEN ((user_id::HUGEINT * 2654435761) % 4294967296)
+                     % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+            FROM events
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   gs.i AS chunk_id,
+                   substr(COALESCE(text, ''), (gs.i * 150 + 1)::INTEGER,
+                          200) AS chunk
+            FROM documents, LATERAL (
+                SELECT UNNEST(generate_series(
+                    0,
+                    CASE WHEN length(COALESCE(text, '')) <= 200 THEN 0
+                         ELSE (length(COALESCE(text, '')) - 200 + 149)
+                              // 150 END)) AS i) gs
         """,
         "text_normalize": """
             SELECT doc_id,

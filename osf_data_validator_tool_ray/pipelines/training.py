@@ -73,6 +73,81 @@ def pack_sequences(
         .groupby(group_col).map_groups(per_group, batch_format="pandas")
 
 
+def split_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    train_permille: int = 800,
+    val_permille: int = 100,
+    knuth: int = 2654435761,
+    mod: int = 1 << 32,
+) -> "ray.data.Dataset":
+    """Group-aware train/val/test assignment: the SPLIT is keyed on
+    ``group_col``'s hash (not the row id), so all rows of one group —
+    one user, one source document — land in the same split and never
+    leak across the train/eval boundary.  Adds a ``split`` column
+    ('train' | 'val' | 'test'); deterministic, SQL-expressible, no
+    shuffle.  Non-integer group keys hash via their int64 cast."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = (g.astype(np.uint64) * np.uint64(knuth)) % np.uint64(mod)
+        b = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(b < train_permille, "train",
+                         np.where(b < train_permille + val_permille,
+                                  "val", "test")).astype(object)
+        return t.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    size: int,
+    stride: int,
+) -> "ray.data.Dataset":
+    """Context-window chunking: split each document into windows of
+    ``size`` characters starting every ``stride`` characters (overlap =
+    size - stride).  A document of length L yields
+    ``1 if L <= size else ceil((L - size) / stride) + 1`` chunks — the
+    last window is the final ``<= size`` tail; empty/null texts yield
+    one empty chunk (the row is preserved).
+
+    Returns (id, chunk_id, chunk).  Vectorized bookkeeping (lengths,
+    chunk counts, start offsets via repeat/arange); the string slices
+    themselves are one Python slice per OUTPUT chunk — that copy IS the
+    operator's work (proportional to emitted bytes), not avoidable
+    per-row overhead."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        ids = t.column(id_col)
+        lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                           count=len(texts))
+        n_chunks = np.where(
+            lens <= size, 1,
+            ((lens - size + stride - 1) // stride) + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(texts)), n_chunks)
+        chunk_id = np.concatenate([np.arange(n) for n in n_chunks]) \
+            if len(texts) else np.array([], dtype=np.int64)
+        starts = chunk_id * stride
+        chunks = [texts[r][s:s + size]
+                  for r, s in zip(row_idx, starts)]
+        return pa.table({
+            id_col: ids.take(pa.array(row_idx, type=pa.int64())),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "chunk": pa.array(chunks, type=pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     strata_col: str,

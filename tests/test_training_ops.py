@@ -55,6 +55,51 @@ def test_pack_sequences_matches_greedy_reference():
     pd.testing.assert_frame_equal(out, out2)
 
 
+def test_split_by_group_no_leakage_and_rates():
+    from osf_data_validator_tool_ray.pipelines.training import split_by_group
+
+    n = 40_000
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"row_id": np.arange(n),
+                       "user_id": rng.integers(0, 4000, n)})
+    out = split_by_group(ray.data.from_pandas(df).repartition(6),
+                         "user_id", "row_id").to_pandas()
+    # every group lives in exactly ONE split (no leakage)
+    assert (out.groupby("user_id")["split"].nunique() == 1).all()
+    # realized group-level rates near 80/10/10
+    per_group = out.groupby("user_id")["split"].first()
+    frac = per_group.value_counts(normalize=True)
+    assert frac["train"] == pytest.approx(0.8, abs=0.03)
+    assert frac["val"] == pytest.approx(0.1, abs=0.02)
+    assert frac["test"] == pytest.approx(0.1, abs=0.02)
+
+
+def test_chunk_documents_windows():
+    from osf_data_validator_tool_ray.pipelines.training import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcdefghij",          # 10 chars -> 3 chunks @ size4/stride3
+                 "ab",                  # short -> 1 chunk
+                 "",                    # empty -> 1 empty chunk
+                 "abcdefg"],            # 7 -> 2 chunks
+    })
+    out = chunk_documents(ray.data.from_pandas(df).repartition(2),
+                          "text", "doc_id", size=4, stride=3) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = out.groupby("doc_id")["chunk"].apply(list).to_dict()
+    assert got[1] == ["abcd", "defg", "ghij"]
+    assert got[2] == ["ab"]
+    assert got[3] == [""]
+    assert got[4] == ["abcd", "defg"]
+    # reconstruction: stripping the overlap re-yields the document
+    for doc, chunks in got.items():
+        text = df.set_index("doc_id").loc[doc, "text"]
+        rebuilt = chunks[0] + "".join(c[4 - 3:] for c in chunks[1:])
+        # overlapping windows cover the doc; rebuilt may pad nothing
+        assert rebuilt == text or rebuilt.startswith(text)
+
+
 def test_stratified_sample_rates_and_determinism():
     import duckdb
 
