@@ -651,6 +651,44 @@ def _q_stratified_sample(sf_dir: str):
                              {"en": 800, "es": 300}, default_permille=100)
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrub over documents: email/phone/SSN patterns replaced with
+    [KIND] tags (RE2 patterns shared verbatim with the oracle)."""
+    from osf_data_validator_tool_ray.functions.text import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        red = redact_pii(t.column("text").to_pandas())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "redacted": pa.array(red, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition features per document (word count,
+    distinct words, repetition ratio) — vectorized factorize +
+    segment-unique kernel."""
+    from osf_data_validator_tool_ray.functions.text import repetition_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        rep = repetition_scores(t.column("text").to_pandas())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(rep["n_words"], type=pa.int64()),
+            "n_distinct_words": pa.array(rep["n_distinct_words"],
+                                         type=pa.int64()),
+            "repetition_ratio": pa.array(
+                np.round(rep["repetition_ratio"].to_numpy() * 1e9) / 1e9,
+                type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def _q_split_by_group(sf_dir: str):
     """Group-aware train/val/test split of events keyed on user_id's
     hash — all events of one user land in one split (no leakage)."""
@@ -1040,6 +1078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "split_by_group": _q_split_by_group,
         "chunk_documents": _q_chunk_documents,
+        "pii_redact": _q_pii_redact,
+        "repetition_scores": _q_repetition_scores,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
         "broadcast_join_nation": _q_broadcast_join_nation,
@@ -1357,6 +1397,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
                   CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300
                             ELSE 100 END
+        """,
+        "pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       COALESCE(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                       '[PHONE]', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                       '[SSN]', 'g') AS redacted
+            FROM documents
+        """,
+        "repetition_scores": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[a-z0-9]+') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(ws)::BIGINT AS n_words,
+                   len(list_distinct(ws))::BIGINT AS n_distinct_words,
+                   ROUND(CASE WHEN len(ws) > 0
+                         THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                         ELSE 0.0 END, 9) AS repetition_ratio
+            FROM w
         """,
         "split_by_group": """
             SELECT event_id, user_id, CASE

@@ -278,6 +278,74 @@ def normalize_text(texts: pd.Series) -> pd.Series:
     return texts.str.replace(_WS_RE, " ", regex=True).str.strip().str.lower()
 
 
+# RE2-compatible PII patterns (shared verbatim with the DuckDB oracle:
+# no lookarounds, no backreferences)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(texts: pd.Series,
+               patterns: "dict[str, str] | None" = None) -> pd.Series:
+    """Replace every PII pattern match with ``[<KIND>]`` — the standard
+    pre-training scrub.  Arrow RE2 replace per pattern (C++-vectorized,
+    a few passes over the corpus); patterns are RE2-safe so the DuckDB
+    regexp_replace(..., 'g') oracle reproduces the output exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(pa.array(texts, from_pandas=True), "")
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        arr = pc.replace_substring_regex(arr, pat, f"[{kind.upper()}]")
+    return pd.Series(arr.to_pandas(), index=texts.index)
+
+
+def repetition_scores(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style repetition features per document: total word count,
+    distinct word count, and repetition ratio (1 - distinct/total; 0
+    for empty docs).  Words = lowercase [a-z0-9]+ runs.
+
+    Vectorized end to end: ONE RE2 tokenizing split, ONE global
+    factorize of the flat token column, per-row distinct counts via
+    np.unique over (row, code) composite keys — no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return pd.DataFrame({"n_words": pd.Series(dtype="int64"),
+                             "n_distinct_words": pd.Series(dtype="int64"),
+                             "repetition_ratio": pd.Series(dtype="float64")})
+    arr = pc.utf8_lower(pc.fill_null(pa.array(texts, from_pandas=True), ""))
+    toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    nonempty = pc.cast(pc.greater(pc.utf8_length(flat), 0), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    c = np.concatenate([[0], np.cumsum(nonempty)])
+    n_words = c[offsets[1:]] - c[offsets[:-1]]
+    # global token codes; empty boundary tokens get code of "" and are
+    # excluded from the distinct count via the nonempty mask
+    codes = pc.fill_null(
+        pc.index_in(flat, value_set=pc.unique(flat)), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    keep = nonempty.astype(bool)
+    combo = rows[keep] * (codes.max() + 1) + codes[keep]
+    uniq_combo = np.unique(combo)
+    n_distinct = np.bincount(uniq_combo // (codes.max() + 1),
+                             minlength=n).astype(np.int64)
+    ratio = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(n_words, 1),
+                     0.0)
+    return pd.DataFrame({"n_words": n_words.astype(np.int64),
+                         "n_distinct_words": n_distinct,
+                         "repetition_ratio": ratio})
+
+
 def pattern_counts(texts: pd.Series, pattern: str) -> np.ndarray:
     """Occurrences of a regex per text (PII scans, marker detection).
     Python re and DuckDB regexp_extract_all agree on the shared

@@ -93,3 +93,44 @@ def test_hash64_stable():
     h2 = T.hash64(pd.Series(["a", "b"]))
     assert (h1 == h2).all()
     assert h1[0] != h1[1]
+
+
+def test_redact_pii_and_repetition_scores():
+    import duckdb
+    import pandas as pd
+
+    from osf_data_validator_tool_ray.functions.text import (
+        redact_pii, repetition_scores)
+
+    df = pd.DataFrame({"text": [
+        "write bob.smith+x@foo-bar.co or call 555-123-4567 now",
+        "ssn 123-45-6789 appears twice: 123-45-6789",
+        None, "", "the the the cat",
+    ]})
+    red = list(redact_pii(df["text"]))
+    assert red[0] == "write [EMAIL] or call [PHONE] now"
+    assert red[1] == "ssn [SSN] appears twice: [SSN]"
+    assert red[2] == "" and red[3] == ""
+
+    # DuckDB parity (same RE2 patterns, same order)
+    want = duckdb.sql(r"""
+        SELECT regexp_replace(regexp_replace(regexp_replace(
+            COALESCE(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g'),
+            '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS r
+        FROM df
+    """).df()["r"].tolist()
+    assert red == want
+
+    rep = repetition_scores(df["text"])
+    assert rep["repetition_ratio"].iloc[4] == 0.5
+    assert rep["n_words"].iloc[2] == 0
+    wrep = duckdb.sql("""
+        WITH w AS (SELECT regexp_extract_all(lower(COALESCE(text, '')),
+                                             '[a-z0-9]+') AS ws FROM df)
+        SELECT len(ws)::BIGINT AS n_words,
+               len(list_distinct(ws))::BIGINT AS n_distinct FROM w
+    """).df()
+    assert rep["n_words"].tolist() == wrep["n_words"].tolist()
+    assert rep["n_distinct_words"].tolist() == wrep["n_distinct"].tolist()
