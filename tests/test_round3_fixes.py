@@ -248,6 +248,44 @@ def test_quarantine_parts_deterministic_and_stale_refused(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# fix round-trip: validate -> quarantine -> re-validate clean
+# ---------------------------------------------------------------------------
+
+def test_fix_round_trip_clean_revalidates(tmp_path):
+    """The reference's run() -> fix() -> rerun lifecycle: quarantining
+    every error-keyed row leaves a dataset whose re-validation reports
+    zero errors (dvt re-runs after CRUD fixes; here the fixed dataset is
+    the clean sink)."""
+    import ray.data
+
+    from osf_data_validator_tool_ray.pipelines.fix import quarantine
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+    from osf_data_validator_tool_ray.spec import clips_spec
+    from osf_data_validator_tool_ray.synth import write_clips_dataset
+
+    meta = write_clips_dataset(str(tmp_path / "clips"), n_rows=1500,
+                               seed=27, defect_rate=0.02)
+    ds = ray.data.read_parquet(meta["clips_dir"])
+    res = run_suite(ds, clips_spec(), decode=True)
+    v = res.violations.to_pandas()
+    bad = v.loc[(v["severity"] == "error") & v["key"].notna(), "key"].unique()
+    assert len(bad) > 0
+
+    out = quarantine(ray.data.read_parquet(meta["clips_dir"]), list(bad),
+                     "clip_id", str(tmp_path / "clean"),
+                     str(tmp_path / "quar"))
+    assert out["n_quarantined"] >= len(bad)
+
+    clean = ray.data.read_parquet(str(tmp_path / "clean"))
+    res2 = run_suite(clean, clips_spec(), decode=True)
+    v2 = res2.violations.to_pandas()
+    # a fully-empty violations Dataset drops its columns in to_pandas
+    n_errs = 0 if "severity" not in v2.columns \
+        else (v2["severity"] == "error").sum()
+    assert n_errs == 0, v2.head()
+
+
+# ---------------------------------------------------------------------------
 # exact KS (SQL-checkable drift tier)
 # ---------------------------------------------------------------------------
 
