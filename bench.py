@@ -165,6 +165,23 @@ def bench_dedup(sf_dir: str) -> dict:
     return _best_of(timed)
 
 
+def bench_corpus(sf_dir: str) -> dict:
+    """End-to-end corpus curation (normalize -> quality -> exact dedup ->
+    near dedup -> sample -> embed) over the documents table."""
+    import ray.data
+    from osf_data_validator_tool_ray.pipelines.corpus import curate_corpus
+
+    def timed() -> dict:
+        t0 = time.time()
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        res = curate_corpus(docs, sample_permille=900, embed_dim=32)
+        n = res["stats"]["n_output"]
+        return {"sec": time.time() - t0, "n_output": n}
+
+    return _best_of(timed)
+
+
 def bench_ann(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -249,6 +266,7 @@ def run_bench() -> dict:
     queries["tpch_checks"] = round(bench_tpch_checks(sf_dir)["sec"], 3)
     queries["dedup"] = round(bench_dedup(sf_dir)["sec"], 3)
     queries["ann"] = round(bench_ann(sf_dir)["sec"], 3)
+    queries["corpus"] = round(bench_corpus(sf_dir)["sec"], 3)
 
     total = round(sum(queries.values()), 3)
     out = {
