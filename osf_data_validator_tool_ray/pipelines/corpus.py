@@ -69,9 +69,21 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     sample_permille: Optional[int] = None,
     embed_dim: Optional[int] = None,
+    persist_intermediates: bool = True,
 ) -> dict:
     """Returns {"docs": curated Dataset, "stats": {...}} (plus
-    "embeddings" when embed_dim is set)."""
+    "embeddings" when embed_dim is set).
+
+    ``persist_intermediates`` governs the pin-vs-recompute tradeoff for
+    the two stages consumed twice (cleaned corpus: dup-group agg + the
+    keep-first filter; exact-unique corpus: MinHash pairs + the
+    near-dup filter).  True (default) materializes each once into the
+    object store — fastest when the corpus fits cluster memory + spill.
+    False keeps them lazy, so each consumer re-executes the upstream
+    lineage instead of pinning a full corpus copy — the right choice at
+    the 100 TB design point where pinning ~2 corpus copies would
+    thrash the object store more than a recompute costs (normalize +
+    hash are cheap vectorized passes)."""
     from ..checks.dedup import _md5_col, minhash_near_dup_pairs, near_dup_clusters
     from ..functions.text import normalize_text, quality_features
 
@@ -92,7 +104,9 @@ def curate_corpus(
         return out.filter(pa.array(keep))
 
     cleaned = ds.map_batches(clean, batch_format="pyarrow",
-                             batch_size=None).materialize()
+                             batch_size=None)
+    if persist_intermediates:
+        cleaned = cleaned.materialize()
     stats["n_after_quality"] = cleaned.count()
 
     # exact dedup: two-phase grouped agg on the content hash, then
@@ -114,8 +128,9 @@ def curate_corpus(
         return t.filter(pa.array(m))
 
     exact_unique = cleaned.map_batches(keep_first, batch_format="pyarrow",
-                                       batch_size=None) \
-        .drop_columns([_TH]).materialize()
+                                       batch_size=None).drop_columns([_TH])
+    if persist_intermediates:
+        exact_unique = exact_unique.materialize()
 
     # near dedup: LSH candidates -> components -> drop non-heads
     pairs = minhash_near_dup_pairs(exact_unique, text_col, id_col,

@@ -80,6 +80,18 @@ def test_exact_dup_groups_driver_sees_only_duplicates():
     assert g.loc["hash00000003", "n"] == 2
 
 
+def test_curate_corpus_lazy_intermediates_identical():
+    """persist_intermediates=False (the 100 TB recompute-over-pin mode)
+    must produce exactly the same curated corpus."""
+    df = _corpus()
+    a = curate_corpus(ray.data.from_pandas(df).repartition(3),
+                      near_dup_threshold=0.6)["docs"].to_pandas()
+    b = curate_corpus(ray.data.from_pandas(df).repartition(3),
+                      near_dup_threshold=0.6,
+                      persist_intermediates=False)["docs"].to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
 def test_curate_corpus_sampling_deterministic():
     df = _corpus()
     a = curate_corpus(ray.data.from_pandas(df).repartition(2),
