@@ -651,6 +651,46 @@ def _q_stratified_sample(sf_dir: str):
                              {"en": 800, "es": 300}, default_permille=100)
 
 
+def _q_reconcile_sum(sf_dir: str):
+    """Cross-table aggregate reconciliation: orderkeys whose lineitem
+    extendedprice sum differs from orders.o_totalprice by more than 5%
+    (ledger-vs-rollup consistency — a column-stat constraint)."""
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        reconcile_sum)
+
+    fact = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    dim = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = reconcile_sum(fact, "l_orderkey", "l_extendedprice",
+                        dim, "o_orderkey", "o_totalprice", rel_tol=0.05)
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = np.round(t.column("rel_diff").to_numpy(zero_copy_only=False)
+                     * 1e6) / 1e6
+        f = np.round(t.column("fact_sum").to_numpy(zero_copy_only=False)
+                     * 100) / 100
+        t = t.set_column(t.schema.get_field_index("rel_diff"), "rel_diff",
+                         pa.array(r, type=pa.float64()))
+        return t.set_column(t.schema.get_field_index("fact_sum"),
+                            "fact_sum", pa.array(f, type=pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None) \
+        .select_columns(["l_orderkey", "fact_sum", "o_totalprice",
+                         "rel_diff"])
+
+
+def _q_sequence_regressions(sf_dir: str):
+    """Sequence-integrity check: lineitems whose shipdate goes backward
+    relative to the previous linenumber of the same order."""
+    from osf_data_validator_tool_ray.pipelines.streaming import (
+        sequence_regressions)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return sequence_regressions(ds, "l_orderkey", "l_shipdate",
+                                "l_linenumber")
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub over documents: email/phone/SSN patterns replaced with
     [KIND] tags (RE2 patterns shared verbatim with the oracle)."""
@@ -1080,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pii_redact": _q_pii_redact,
         "repetition_scores": _q_repetition_scores,
+        "reconcile_sum": _q_reconcile_sum,
+        "sequence_regressions": _q_sequence_regressions,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
         "broadcast_join_nation": _q_broadcast_join_nation,
@@ -1397,6 +1439,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
                   CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300
                             ELSE 100 END
+        """,
+        "reconcile_sum": """
+            WITH s AS (
+                SELECT l_orderkey, SUM(l_extendedprice) AS fact_sum
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s.l_orderkey, ROUND(s.fact_sum, 2) AS fact_sum,
+                   o.o_totalprice,
+                   ROUND(ABS(s.fact_sum - o.o_totalprice)
+                         / GREATEST(ABS(o.o_totalprice), 1e-12), 6)
+                       AS rel_diff
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+            WHERE ABS(s.fact_sum - o.o_totalprice)
+                  / GREATEST(ABS(o.o_totalprice), 1e-12) > 0.05
+        """,
+        "sequence_regressions": """
+            SELECT l_orderkey, l_linenumber, l_shipdate, prev_ts FROM (
+                SELECT l_orderkey, l_linenumber, l_shipdate,
+                       LAG(l_shipdate) OVER (PARTITION BY l_orderkey
+                                             ORDER BY l_linenumber,
+                                                      l_shipdate)
+                           AS prev_ts
+                FROM lineitem)
+            WHERE l_shipdate < prev_ts
         """,
         "pii_redact": r"""
             SELECT doc_id,

@@ -475,6 +475,51 @@ def distinct_counts(
     return pa.table(counts)
 
 
+def reconcile_sum(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    value_col: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    target_col: str,
+    rel_tol: float,
+) -> "ray.data.Dataset":
+    """Cross-table aggregate reconciliation: for each key, the fact
+    table's SUM(value_col) must match the dimension table's recorded
+    ``target_col`` within ``rel_tol`` relative tolerance — the
+    ledger-vs-rollup consistency check (a column-stat constraint the
+    per-row checks can't express).
+
+    Two-phase grouped sum on the fact side (combiner before the ONE
+    exchange), then an adaptive equi-join against the dimension side
+    (hash_join auto-broadcasts small dims).  Returns
+    (key, fact_sum, target, rel_diff) rows exceeding the tolerance;
+    keys missing on either side are excluded (referential existence is
+    its own check)."""
+    sums = grouped_agg(fact, fact_key, {"fact_sum": (value_col, "sum")})
+    joined = hash_join(sums, dim.select_columns([dim_key, target_col])
+                       .map_batches(lambda t, k=dim_key, fk=fact_key:
+                                    t.rename_columns(
+                                        [fk if c == k else c
+                                         for c in t.column_names]),
+                                    batch_format="pyarrow",
+                                    batch_size=None),
+                       fact_key, how="inner")
+
+    def exceed(t: pa.Table) -> pa.Table:
+        fs = t.column("fact_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tg = t.column(target_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        denom = np.maximum(np.abs(tg), 1e-12)
+        rel = np.abs(fs - tg) / denom
+        out = t.append_column("rel_diff", pa.array(rel, type=pa.float64()))
+        return out.filter(pa.array(rel > rel_tol))
+
+    return joined.map_batches(exceed, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def broadcast_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -339,6 +339,37 @@ def lag_deltas(
         per_key, batch_format="pandas")
 
 
+def sequence_regressions(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    seq_col: str,
+) -> "ray.data.Dataset":
+    """Sequence-integrity check: rows whose ``ts_col`` goes BACKWARD
+    relative to the previous row of the same key in ``seq_col`` order
+    (an append-log invariant: later sequence numbers must not carry
+    earlier timestamps).  Group-local sort + vectorized diff — one keyed
+    exchange, no global sort.  Returns (key, seq, ts, prev_ts).
+
+    The ordering is (seq, ts) — the ts tie-break makes it TOTAL, so
+    duplicate sequence numbers order deterministically (and never flag
+    each other) and results are partitioning-independent, matching the
+    SQL ``LAG ... ORDER BY seq, ts`` oracle exactly."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([seq_col, ts_col], kind="stable")
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        prev = np.concatenate([[np.iinfo(np.int64).min], ts[:-1]])
+        bad = ts < prev
+        out = g.loc[bad, [key, seq_col, ts_col]].copy()
+        out["prev_ts"] = pd.to_datetime(prev[bad], unit="us")
+        return out
+
+    cols = list(dict.fromkeys([key, seq_col, ts_col]))
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_key, batch_format="pandas")
+
+
 def _asof_join_presplit(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -248,6 +248,42 @@ def test_quarantine_parts_deterministic_and_stale_refused(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# new validation ops: aggregate reconciliation + sequence integrity
+# ---------------------------------------------------------------------------
+
+def test_reconcile_sum_flags_only_mismatches():
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        reconcile_sum)
+
+    fact = pd.DataFrame({"k": [1, 1, 2, 2, 3, 4],
+                         "v": [10.0, 5.0, 7.0, 3.0, 9.0, 2.0]})
+    dim = pd.DataFrame({"k": [1, 2, 3, 5],
+                        "total": [15.0, 11.0, 9.0, 4.0]})   # k=2 off by 10%
+    out = reconcile_sum(ray.data.from_pandas(fact).repartition(3), "k", "v",
+                        ray.data.from_pandas(dim), "k", "total",
+                        rel_tol=0.05).to_pandas()
+    assert out["k"].tolist() == [2]
+    assert out["rel_diff"].iloc[0] == pytest.approx(1.0 / 11.0)
+    # k=4 (missing dim) and k=5 (missing fact) are excluded by design
+
+
+def test_sequence_regressions_detects_backward_ts():
+    from osf_data_validator_tool_ray.pipelines.streaming import (
+        sequence_regressions)
+
+    ts = pd.to_datetime([100, 200, 150, 300,     # key a: seq 3 regresses
+                         50, 60, 70], unit="s")  # key b: clean
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 3,
+                       "seq": [1, 2, 3, 4, 1, 2, 3],
+                       "ts": ts})
+    out = sequence_regressions(ray.data.from_pandas(df).repartition(3),
+                               "k", "ts", "seq").to_pandas()
+    assert len(out) == 1
+    assert out["k"].iloc[0] == "a" and out["seq"].iloc[0] == 3
+    assert out["prev_ts"].iloc[0] == pd.Timestamp("1970-01-01 00:03:20")
+
+
+# ---------------------------------------------------------------------------
 # fix round-trip: validate -> quarantine -> re-validate clean
 # ---------------------------------------------------------------------------
 
