@@ -144,3 +144,52 @@ def check_drift(ctx: RunContext, ks_threshold: str = "0.1", psi_threshold: str =
     return drift_violations(prof, base,
                             ks_threshold=float(ks_threshold),
                             psi_threshold=float(psi_threshold))
+
+
+@register("reconcile")
+def check_reconcile(ctx: RunContext, ref: str = "", key: str = "",
+                    value: str = "", ref_key: str = "", target: str = "",
+                    tol: str = "0.05"):
+    """Cross-table aggregate reconciliation (RECONCILE-100): the data's
+    per-key SUM(value) must match the refs table's recorded target
+    within ``tol`` relative tolerance."""
+    from ..pipelines.relational import reconcile_sum
+    from ..stages.base_ids import RECONCILE_100
+    from .base import make_violations
+
+    if not (ref and ctx.refs and ref in ctx.refs and key and value
+            and ref_key and target):
+        return None
+    out = reconcile_sum(ctx.meta_ds, key, value, ctx.refs[ref],
+                        ref_key, target, rel_tol=float(tol))
+
+    def emit(t: pa.Table) -> pa.Table:
+        return make_violations(
+            RECONCILE_100, t.column(key).to_pylist(), value,
+            t.column("fact_sum").to_pylist(),
+            expected=f"sum({value}) within {tol} of {ref}.{target}")
+
+    return out.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+@register("sequence_order")
+def check_sequence_order(ctx: RunContext, key: str = "", ts: str = "",
+                         seq: str = ""):
+    """Sequence-integrity check (SEQ-ORDER-100): per-key timestamps must
+    not regress in (seq, ts) order."""
+    from ..pipelines.streaming import sequence_regressions
+    from ..stages.base_ids import SEQ_ORDER_100
+    from .base import make_violations
+
+    names = set(ctx.meta_ds.schema().names)
+    if not (key and ts and seq and {key, ts, seq} <= names):
+        return None
+    out = sequence_regressions(ctx.meta_ds, key, ts, seq)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return make_violations(
+            SEQ_ORDER_100, t.column(key).to_pylist(), ts,
+            t.column(ts).to_pylist(),
+            expected=f"{ts} non-decreasing in {seq} order")
+
+    return out.map_batches(emit, batch_format="pyarrow", batch_size=None)

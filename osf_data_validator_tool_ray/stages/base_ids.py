@@ -17,3 +17,5 @@ ONLY_100 = "ONLY-100"
 DECODE_100 = "DECODE-100"                    # payload fails full decode
 DECODE_101 = "DECODE-101"                    # decoded stats contradict metadata
 DRIFT_100 = "DRIFT-100"                      # KS/PSI distribution drift
+RECONCILE_100 = "RECONCILE-100"              # cross-table aggregate mismatch
+SEQ_ORDER_100 = "SEQ-ORDER-100"              # timestamp regression in sequence order

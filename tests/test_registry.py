@@ -53,3 +53,31 @@ def test_configured_run_matches_ledger():
 def test_registry_contains_core_checks():
     assert {"schema", "spec_completeness", "stateless", "keyed",
             "decode", "drift"} <= set(CHECKS)
+
+
+def test_registry_reconcile_and_sequence_order():
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.registry import (
+        RunContext, plan_checks)
+    from osf_data_validator_tool_ray.spec import clips_spec
+
+    fact = pd.DataFrame({"k": [1, 1, 2], "v": [5.0, 5.0, 9.0],
+                         "seq": [1, 2, 1],
+                         "ts": pd.to_datetime([20, 10, 30], unit="s")})
+    refs = {"totals": ray.data.from_pandas(
+        pd.DataFrame({"rk": [1, 2], "total": [10.0, 20.0]}))}
+    ctx = RunContext(ds=ray.data.from_pandas(fact), spec=clips_spec(),
+                     refs=refs)
+    out = plan_checks(ctx, [
+        "reconcile?ref=totals&key=k&value=v&ref_key=rk&target=total&tol=0.1",
+        "sequence_order?key=k&ts=ts&seq=seq",
+    ])
+    frames = [o.to_pandas() if hasattr(o, "to_pandas") else o for o in out]
+    rec = frames[0]
+    assert rec["check_id"].tolist() == ["RECONCILE-100"]   # k=2: 9 vs 20
+    assert rec["key"].tolist() == ["2"]
+    seqv = frames[1]
+    assert seqv["check_id"].tolist() == ["SEQ-ORDER-100"]  # k=1 seq2 ts10<20
+    assert seqv["key"].tolist() == ["1"]
