@@ -651,6 +651,25 @@ def _q_stratified_sample(sf_dir: str):
                              {"en": 800, "es": 300}, default_permille=100)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score per document (mean ln p(token) under the
+    corpus's own unigram distribution; vocab capped at 1000 to exercise
+    the OOV floor)."""
+    from osf_data_validator_tool_ray.pipelines.training import (
+        unigram_logprob_scores)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_logprob_scores(ds, "text", "doc_id", max_vocab=1000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("logprob").to_numpy(zero_copy_only=False)
+                     * 1e6) / 1e6
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "logprob": pa.array(v, type=pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def _q_reconcile_sum(sf_dir: str):
     """Cross-table aggregate reconciliation: orderkeys whose lineitem
     extendedprice sum differs from orders.o_totalprice by more than 5%
@@ -1121,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "repetition_scores": _q_repetition_scores,
         "reconcile_sum": _q_reconcile_sum,
+        "unigram_logprob": _q_unigram_logprob,
         "sequence_regressions": _q_sequence_regressions,
         "text_normalize": _q_text_normalize,
         "pattern_scan": _q_pattern_scan,
@@ -1439,6 +1459,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
                   CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 300
                             ELSE 100 END
+        """,
+        "unigram_logprob": """
+            -- same tokenizer, same MLE unigram LM, same OOV floor
+            WITH w AS (
+                SELECT doc_id,
+                       UNNEST(regexp_extract_all(
+                           lower(COALESCE(text, '')), '[a-z0-9]+')) AS tok
+                FROM documents
+            ), cnt AS (
+                SELECT tok, COUNT(*) AS c FROM w GROUP BY tok
+            ), tot AS (
+                SELECT SUM(c)::DOUBLE AS t FROM cnt
+            ), v AS (
+                SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 1000
+            ), s AS (
+                SELECT w.doc_id,
+                       CASE WHEN v.tok IS NOT NULL
+                            THEN ln(v.c::DOUBLE / tot.t)
+                            ELSE ln(1.0 / tot.t) END AS lp
+                FROM w LEFT JOIN v ON v.tok = w.tok CROSS JOIN tot
+            )
+            SELECT doc_id, ROUND(AVG(lp), 6) AS logprob
+            FROM s GROUP BY doc_id
         """,
         "reconcile_sum": """
             WITH s AS (

@@ -148,6 +148,103 @@ def chunk_documents(
         fn, batch_format="pyarrow", batch_size=None)
 
 
+def unigram_logprob_scores(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_vocab: int = 65536,
+    driver_threshold: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Unigram language-model quality score per document: mean
+    ``ln p(token)`` under the corpus's OWN unigram distribution (the
+    KenLM-style perplexity stand-in used to rank crawl text).
+
+    Pass 1 trains the LM: per-batch token-count partials -> one grouped
+    count -> top ``max_vocab`` tokens by (count desc, token asc), with
+    ``p(w) = count(w) / total_tokens`` and out-of-vocab floored at
+    ``ln(1 / total_tokens)``.  Pass 2 broadcasts the (token, logprob)
+    table once via ray.put and scores every document vectorized
+    (RE2 split + ``pc.index_in`` + int64-offset segment means).
+    Documents with zero tokens are omitted (no defined mean).
+
+    Tokens are lowercase [a-z0-9]+ runs — the same tokenizer as
+    repetition_scores, replicated exactly by the SQL oracle."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from .relational import grouped_agg
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+        flat = toks.combine_chunks().values \
+            if isinstance(toks, pa.ChunkedArray) else toks.values
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({"token": flat})
+
+    tokens = ds.select_columns([text_col]).map_batches(
+        tok_partial, batch_format="pyarrow", batch_size=65536)
+    counts_ds = grouped_agg(tokens, "token", {"c": ("token", "count")}) \
+        .materialize()
+    from .relational import DRIVER_MERGE_THRESHOLD, fits_driver_merge
+    if fits_driver_merge(counts_ds, driver_threshold
+                         if driver_threshold is not None
+                         else DRIVER_MERGE_THRESHOLD):
+        counts = counts_ds.to_pandas()
+        total = int(counts["c"].sum())
+        vocab = counts.sort_values(["c", "token"],
+                                   ascending=[False, True]).head(max_vocab)
+    else:
+        # unbounded vocab: the driver sees ONLY the top-k slice (one
+        # distributed sort-limit) and a scalar total, never the full
+        # distinct-token table
+        from ray.data.aggregate import Sum as _Sum
+        total = int(counts_ds.aggregate(_Sum("c"))["sum(c)"])
+        vocab = counts_ds.sort(["c", "token"],
+                               descending=[True, False]) \
+            .limit(max_vocab).to_pandas()
+    floor_lp = float(np.log(1.0 / max(total, 1)))
+    lp = np.log(vocab["c"].to_numpy(dtype=np.float64) / max(total, 1))
+    vocab_ref = _ray.put((vocab["token"].to_numpy(dtype=object), lp))
+
+    class Score:
+        def __init__(self):
+            toks, lps = _ray.get(vocab_ref)
+            self.vocab = pa.array(toks, type=pa.string())
+            self.lps = lps
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            arr = pc.utf8_lower(pc.fill_null(t.column(text_col), ""))
+            toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offsets = toks.offsets.to_numpy().astype(np.int64)
+            flat = toks.values
+            nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                        > 0)
+            idx = pc.fill_null(pc.index_in(flat, value_set=self.vocab), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tok_lp = np.where(idx >= 0, self.lps[np.maximum(idx, 0)],
+                              floor_lp)
+            tok_lp = np.where(nonempty, tok_lp, 0.0)
+            c = np.concatenate([[0.0], np.cumsum(tok_lp)])
+            sums = c[offsets[1:]] - c[offsets[:-1]]
+            cn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+            ns = cn[offsets[1:]] - cn[offsets[:-1]]
+            keep = ns > 0
+            return pa.table({
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "logprob": pa.array(sums[keep] / np.maximum(ns[keep], 1),
+                                    type=pa.float64()),
+            })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Score, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, max(2, int(_ray.cluster_resources()
+                                   .get("CPU", 8)))))
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     strata_col: str,

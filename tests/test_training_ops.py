@@ -100,6 +100,35 @@ def test_chunk_documents_windows():
         assert rebuilt == text or rebuilt.startswith(text)
 
 
+def test_unigram_logprob_paths_agree_and_floor_ooc():
+    from osf_data_validator_tool_ray.pipelines.training import (
+        unigram_logprob_scores)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat",
+                 "the the the",            # high-prob tokens only
+                 "zyzzyva qwertyuiop",     # rare -> OOV under tiny vocab
+                 ""],                      # no tokens -> omitted
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    a = unigram_logprob_scores(ds, "text", "doc_id", max_vocab=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # driver_threshold=0 forces the distributed sort-limit vocab path
+    b = unigram_logprob_scores(ray.data.from_pandas(df).repartition(2),
+                               "text", "doc_id", max_vocab=3,
+                               driver_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == [1, 2, 3] == b["doc_id"].tolist()
+    assert np.allclose(a["logprob"], b["logprob"])
+    # common-token doc scores higher than the OOV doc
+    s = a.set_index("doc_id")["logprob"]
+    assert s[2] > s[3]
+    # OOV tokens hit the 1/total floor exactly
+    total = 11                                # tokens across the corpus
+    assert s[3] == pytest.approx(np.log(1.0 / total))
+
+
 def test_stratified_sample_rates_and_determinism():
     import duckdb
 
