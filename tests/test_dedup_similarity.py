@@ -198,3 +198,42 @@ def test_ann_ivf_recall_vs_bruteforce():
                          n_centroids=32, nprobe=8).to_pandas()
     assert again[["query_id", "vec_id"]].values.tolist() == \
         approx[["query_id", "vec_id"]].values.tolist()
+
+
+def test_audio_near_dup_planted_pairs():
+    """Acoustic dedup: amplitude-scaled and ulaw-transcoded copies of a
+    clip must pair with the original at hamming 0-ish; distinct tones
+    and noise clips must not pair."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.audio import encode
+    from osf_data_validator_tool_ray.checks.dedup import audio_near_dup_pairs
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float32) / sr
+
+    def tone(f, amp):
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    rows = []
+    for i, f0 in enumerate([300, 470, 710, 1100, 1650]):
+        pcm = tone(f0, 0.5) + tone(f0 * 1.5, 0.25)
+        rows.append({"clip_id": i, "bytes": encode(pcm, sr, "pcm_s16le")})
+    base = tone(300, 0.5) + tone(450, 0.25)        # == clip 0's content
+    rows.append({"clip_id": 100, "bytes": encode(base * 0.2, sr, "pcm_s16le")})
+    rows.append({"clip_id": 101, "bytes": encode(base, sr, "ulaw")})
+    rows.append({"clip_id": 200, "bytes": encode(
+        np.random.default_rng(3).normal(0, 0.2, sr).astype(np.float32),
+        sr, "pcm_s16le")})
+
+    pairs = audio_near_dup_pairs(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(3),
+        "bytes", "clip_id").to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    # no cross-tone or noise pairings
+    for a, b in got:
+        assert {a, b} <= {0, 100, 101}, (a, b)
+    assert (pairs["hamming"] <= 16).all()
