@@ -78,12 +78,31 @@ def lang_en(batch: pa.Table) -> np.ndarray:
         .to_numpy(zero_copy_only=False)
 
 
+def speaking_rate_ok(batch: pa.Table, min_cps: float = 0.2,
+                     max_cps: float = 60.0) -> np.ndarray:
+    """Universal cross-modal consistency: transcript characters per
+    second of audio within plausible speech bounds — a transcript far
+    too long or short for its clip duration signals a mispaired
+    (audio, transcript) row.  Rows with an empty transcript or
+    non-positive duration pass here (nonempty_transcript / the dur_ms
+    facet own those findings)."""
+    tr = pc.utf8_length(pc.coalesce(batch.column("transcript"), "")) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    dur_s = batch.column("dur_ms").to_numpy(zero_copy_only=False) \
+        .astype(np.float64) / 1000.0
+    evaluable = (tr > 0) & (dur_s > 0)
+    cps = np.divide(tr, dur_s, out=np.zeros_like(tr), where=dur_s > 0)
+    ok = (cps >= min_cps) & (cps <= max_cps)
+    return np.where(evaluable, ok, True)
+
+
 PREDICATES: dict[str, Callable[[pa.Table], np.ndarray]] = {
     "nonempty_transcript": nonempty_transcript,
     "decodable_bytes": decodable_bytes,
     "bytes_matches_codec": bytes_matches_codec,
     "frames_match_dur": frames_match_dur,
     "lang_en": lang_en,
+    "speaking_rate_ok": speaking_rate_ok,
 }
 
 # columns each predicate reads — lets planners skip predicates whose
@@ -95,4 +114,5 @@ PREDICATE_COLUMNS: dict[str, frozenset[str]] = {
     "bytes_matches_codec": frozenset({"bytes", "codec"}),
     "frames_match_dur": frozenset({"bytes", "sr_hz", "dur_ms"}),
     "lang_en": frozenset({"lang"}),
+    "speaking_rate_ok": frozenset({"transcript", "dur_ms"}),
 }

@@ -111,3 +111,30 @@ def test_clean_table_passes():
     res = run_suite(ds, clips_spec())
     assert res.violations.count() == 0
     assert res.report()["pass"] is True
+
+
+def test_speaking_rate_universal():
+    """Cross-modal (audio ↔ transcript) consistency: a spec declaring
+    the speaking_rate_ok universal flags rows whose transcript length
+    is implausible for the clip duration, and nothing else."""
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.pipelines.runner import run_suite
+    from osf_data_validator_tool_ray.spec import ConstraintSpec, Universal
+
+    df = pd.DataFrame({
+        "clip_id": ["a", "b", "c", "d", "e"],
+        "dur_ms": [1000, 1000, 2000, 500, 1000],
+        "transcript": ["twenty chars of text",     # 20 cps: fine
+                       "x" * 900,                  # 900 cps: absurd
+                       "",                         # empty: not evaluable
+                       "hi",                       # 4 cps: fine
+                       "y" * 30],                  # 30 cps: fine
+    })
+    spec = ConstraintSpec(table="clips", key_column="clip_id",
+                          universals=[Universal(predicate="speaking_rate_ok")])
+    res = run_suite(ray.data.from_pandas(df).repartition(2), spec)
+    v = res.violations.to_pandas()
+    only = v[(v["check_id"] == "ONLY-100") & (v["severity"] == "error")]
+    assert only["key"].tolist() == ["b"]
