@@ -344,6 +344,7 @@ def sequence_regressions(
     key: str,
     ts_col: str,
     seq_col: str,
+    driver_threshold: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Sequence-integrity check: rows whose ``ts_col`` goes BACKWARD
     relative to the previous row of the same key in ``seq_col`` order
@@ -354,20 +355,46 @@ def sequence_regressions(
     The ordering is (seq, ts) — the ts tie-break makes it TOTAL, so
     duplicate sequence numbers order deterministically (and never flag
     each other) and results are partitioning-independent, matching the
-    SQL ``LAG ... ORDER BY seq, ts`` oracle exactly."""
+    SQL ``LAG ... ORDER BY seq, ts`` oracle exactly.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([seq_col, ts_col], kind="stable")
-        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+    Adaptive: small inputs (row+byte gated) run ONE vectorized
+    sort+shift on the driver — a per-group map_groups over many small
+    keys costs ~1 ms of Python per group (measured: ~20 s for 15 k
+    orders), while the vectorized path is milliseconds.  Large inputs
+    take the keyed map_groups exchange."""
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        # df must be sorted by (key, seq, ts); vectorized lag + key mask
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         prev = np.concatenate([[np.iinfo(np.int64).min], ts[:-1]])
-        bad = ts < prev
-        out = g.loc[bad, [key, seq_col, ts_col]].copy()
+        same_key = np.concatenate(
+            [[False], df[key].to_numpy()[1:] == df[key].to_numpy()[:-1]])
+        bad = same_key & (ts < prev)
+        out = df.loc[bad, [key, seq_col, ts_col]].copy()
         out["prev_ts"] = pd.to_datetime(prev[bad], unit="us")
         return out
 
     cols = list(dict.fromkeys([key, seq_col, ts_col]))
-    return ds.select_columns(cols).groupby(key).map_groups(
-        per_key, batch_format="pandas")
+    from .relational import DRIVER_MERGE_THRESHOLD, fits_driver_merge
+    mat = ds.select_columns(cols).materialize()
+    if fits_driver_merge(mat, driver_threshold
+                         if driver_threshold is not None
+                         else DRIVER_MERGE_THRESHOLD):
+        df = mat.to_pandas().sort_values([key, seq_col, ts_col],
+                                         kind="stable")
+        out = _flag(df)
+        if len(out) == 0:
+            return ray.data.from_pandas(pd.DataFrame({
+                key: pd.Series(dtype=df[key].dtype),
+                seq_col: pd.Series(dtype=df[seq_col].dtype),
+                ts_col: pd.Series(dtype="datetime64[us]"),
+                "prev_ts": pd.Series(dtype="datetime64[us]")}))
+        return ray.data.from_pandas(out.reset_index(drop=True))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return _flag(g.sort_values([seq_col, ts_col], kind="stable"))
+
+    return mat.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 def _asof_join_presplit(

@@ -368,3 +368,27 @@ def test_deterministic_sample_large_ids_match_sql():
         "((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 500"
     ).df()
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_sequence_regressions_paths_agree():
+    """Driver vectorized path == distributed map_groups path."""
+    from osf_data_validator_tool_ray.pipelines.streaming import (
+        sequence_regressions)
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 300, n),
+        "seq": np.arange(n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+    })
+    a = sequence_regressions(ray.data.from_pandas(df).repartition(5),
+                             "k", "ts", "seq").to_pandas() \
+        .sort_values(["k", "seq"]).reset_index(drop=True)
+    b = sequence_regressions(ray.data.from_pandas(df).repartition(5),
+                             "k", "ts", "seq", driver_threshold=0) \
+        .to_pandas().sort_values(["k", "seq"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a[["k", "seq"]], b[["k", "seq"]])
+    assert (a["ts"].to_numpy() == b["ts"].to_numpy()).all()
