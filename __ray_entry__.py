@@ -72,9 +72,19 @@ def entry() -> Any:
 
 def _q_facet_bounds(sf_dir: str):
     """Datatype-facet bounds check (DATATYPE-FACET-101 shape): lineitem
-    rows whose l_quantity violates [2, 48]."""
+    rows whose l_quantity violates [2, 48].  The violation predicate is
+    PUSHED INTO THE SCAN (pyarrow dataset filter -> row-group stats
+    pruning), so only row groups that can possibly violate are read;
+    the vectorized batch filter stays as the exact gate."""
+    import pyarrow.dataset as pads
+
     from osf_data_validator_tool_ray.pipelines.relational import filter_rows
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    from osf_data_validator_tool_ray.sources.io import read_table
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"],
+                    filter=(pads.field("l_quantity") < 2.0)
+                    | (pads.field("l_quantity") > 48.0))
     out = filter_rows(
         ds,
         lambda t: pc.or_(pc.less(t["l_quantity"], 2.0), pc.greater(t["l_quantity"], 48.0)),

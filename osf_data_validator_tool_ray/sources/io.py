@@ -79,9 +79,17 @@ def read_table(
     path: str,
     columns: Optional[Sequence[str]] = None,
     override_num_blocks: Optional[int] = None,
+    filter=None,
 ) -> "ray.data.Dataset":
     """Read a Lance dataset or a parquet file/dir/glob with column
-    projection pushed into the scan."""
+    projection AND (optionally) a row predicate pushed into the scan.
+
+    ``filter`` is a ``pyarrow.dataset`` expression; the scan applies it
+    against row-group statistics before decompressing pages, so a
+    violation check whose predicate is scan-expressible (facet bounds,
+    enum membership) reads only the row groups that can possibly
+    violate — at 100 TB that is the difference between scanning the
+    table and scanning the suspects."""
     kwargs = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
@@ -89,6 +97,8 @@ def read_table(
         kwargs["override_num_blocks"] = override_num_blocks
     if HAVE_LANCE and path.endswith(".lance"):
         return ray.data.read_lance(path, **kwargs)
+    if filter is not None:
+        kwargs["filter"] = filter
     if any(ch in path for ch in "*?["):
         return ray.data.read_parquet(sorted(glob.glob(path)), **kwargs)
     return ray.data.read_parquet(path, **kwargs)

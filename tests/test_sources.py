@@ -52,3 +52,17 @@ def test_lance_round_trip_fragment_lineage(tmp_path):
         seen.extend(rows)
     assert sorted(seen) == sorted(tbl.column("clip_id").to_pylist())
     assert read_table(path).count() == 100
+
+
+def test_read_table_filter_pushdown(tmp_path):
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    df = pd.DataFrame({"k": range(1000), "v": [i % 50 for i in range(1000)]})
+    p = str(tmp_path / "t.parquet")
+    pq_.write_table(pa.Table.from_pandas(df), p, row_group_size=100)
+    ds = read_table(p, columns=["k", "v"], filter=pads.field("v") > 47)
+    got = ds.to_pandas()
+    assert len(got) == (df["v"] > 47).sum()
+    assert (got["v"] > 47).all()
