@@ -473,7 +473,15 @@ def _q_heavy_hitters_verified(sf_dir: str):
                             batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(CountMin.from_bytes(s))
-    cats = ["click", "view", "purchase", "signup", "error"]
+    # candidates enumerate from the DATA (distinct non-null categories,
+    # bounded by category cardinality), not a hardcoded list — the CMS
+    # probe then prunes which ones need the exact verify; probing a
+    # fixed roster would break the candidates-are-a-superset invariant
+    # for any unexpected heavy category
+    from osf_data_validator_tool_ray.pipelines.relational import (
+        distinct_values)
+    cats = [c for c in distinct_values(ds, "event_type").to_pandas()
+            ["event_type"] if c is not None]
     est = merged.query(pd.Series(cats))
     cand = [c for c, e in zip(cats, est) if e >= thresh]
     empty = pd.DataFrame({"event_type": pd.Series(dtype=object),
@@ -961,9 +969,19 @@ def _q_audio_near_dup(sf_dir: str):
     t = np.arange(sr, dtype=np.float32) / sr
     rows = []
     for i in ids:
-        f0 = 180.0 + (int(i) * 37) % 1400
-        pcm = (0.5 * np.sin(2 * np.pi * f0 * t)
-               + 0.25 * np.sin(2 * np.pi * (f0 * 1.5) * t)).astype(np.float32)
+        # 4 seeded components with a seeded per-frame amplitude envelope:
+        # stationary tones would collapse into shared spectral bands and
+        # cross-pair — the 32-frame random envelope makes each clip's
+        # spectro-temporal bit pattern effectively unique, while scaled
+        # and transcoded COPIES preserve it exactly
+        rng = np.random.default_rng(int(i))
+        freqs = rng.uniform(100, 1900, 4)
+        amps = rng.uniform(0.1, 0.4, 4)
+        env = rng.uniform(0.05, 1.0, (4, 32))
+        fidx = (np.arange(sr) * 32) // sr
+        pcm = np.sum([a * env[j, fidx] * np.sin(2 * np.pi * f * t)
+                      for j, (f, a) in enumerate(zip(freqs, amps))],
+                     axis=0).astype(np.float32)
         rows.append({"clip_id": int(i), "bytes": encode(pcm, sr, "pcm_s16le")})
         if int(i) % 10 == 0:
             rows.append({"clip_id": int(i) + 1_000_000,
@@ -971,7 +989,11 @@ def _q_audio_near_dup(sf_dir: str):
             rows.append({"clip_id": int(i) + 2_000_000,
                          "bytes": encode(pcm, sr, "ulaw")})
     ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
-    pairs = audio_near_dup_pairs(ds, "bytes", "clip_id").to_pandas()
+    # max_hamming=4: planted copies measure 0-4 differing bits (ulaw
+    # quantization), chance band-pattern overlaps of distinct clips
+    # measure >= 5 — the threshold separates them cleanly
+    pairs = audio_near_dup_pairs(ds, "bytes", "clip_id",
+                                 max_hamming=4).to_pandas()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -1338,8 +1360,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters_verified": """
             -- the engine's CMS candidates are a superset (CMS never
-            -- underestimates); its exact verify pass reduces to HAVING
+            -- underestimates, candidates enumerate from the data's
+            -- distinct non-null categories); exact verify = HAVING
             SELECT event_type, COUNT(*) AS n FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
             HAVING COUNT(*) >= (SELECT COUNT(*) // 5 FROM events)
         """,

@@ -690,16 +690,33 @@ def audio_near_dup_pairs(
     frames_per_band = max(1, n_frames // lsh_bands)
 
     def sign_stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        fps = []
-        for buf in batch.column(bytes_col).to_pylist():
+        all_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids, fps = [], []
+        for rid, buf in zip(all_ids, batch.column(bytes_col).to_pylist()):
+            # undecodable or too-short payloads are EXCLUDED, not
+            # fingerprinted: every failure would otherwise share the
+            # all-zeros fingerprint and pairwise "match" at Hamming 0
+            # (decode failures are the DECODE checks' finding, not dedup's)
             try:
                 pcm, _sr = A.decode(buf)
-                fps.append(A.spectral_fingerprint(pcm, n_frames=n_frames,
-                                                  n_bands=n_bands_fp))
             except Exception:
-                fps.append(np.zeros(n_frames, dtype=np.uint16))
+                continue
+            fp = A.spectral_fingerprint(pcm, n_frames=n_frames,
+                                        n_bands=n_bands_fp)
+            if not fp.any():
+                continue
+            ids.append(rid)
+            fps.append(fp)
+        ids = np.asarray(ids, dtype=all_ids.dtype if len(ids) else np.int64)
         bands_ids, band_keys, out_ids, out_fps = [], [], [], []
+        if not len(fps):
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.from_numpy_dtype(all_ids.dtype)
+                                   if all_ids.dtype != object else pa.string()),
+                "fp": pa.array([], type=pa.binary()),
+            })
         for b in range(lsh_bands):
             sl = slice(b * frames_per_band, (b + 1) * frames_per_band)
             keys = np.array([int.from_bytes(

@@ -83,6 +83,42 @@ for _i, _w in enumerate(_ALL_MARKERS):
             _MARKER_LUT[_i + 1] |= 1 << _j
 
 
+def tokenize_flat(texts: "pd.Series | object", sep_pattern: str,
+                  lower: bool = True):
+    """Shared Arrow tokenization kernel: ONE RE2 split of every text
+    into a flat token array with list offsets.  Returns
+    ``(flat StringArray, offsets int64 ndarray, nonempty int64 ndarray)``
+    — split keeps empty boundary tokens, so ``nonempty`` marks the real
+    words.  Used by lang_id / repetition_scores / unigram_logprob_scores;
+    the three MUST tokenize identically to match their SQL oracles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(pa.array(texts, from_pandas=True)
+                       if not isinstance(texts, (pa.Array, pa.ChunkedArray))
+                       else texts, "")
+    if lower:
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(arr, sep_pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0) \
+        .astype(np.int64)
+    return flat, offsets, nonempty
+
+
+def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-list sums of a flat value array via one cumsum over the list
+    offsets.  Accumulate in the values' OWN dtype (int64/float64):
+    numpy's int8->float64 cumsum takes a ~100x-slower buffered-cast
+    path."""
+    c = np.concatenate([np.zeros(1, dtype=values.dtype),
+                        np.cumsum(values)])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
 def lang_id(texts: pd.Series) -> np.ndarray:
     """Best-effort language guess per text from marker-word hit rates and
     CJK script detection; 'und' (undetermined) when nothing matches.
@@ -103,33 +139,21 @@ def lang_id(texts: pd.Series) -> np.ndarray:
     out = np.full(n, "und", dtype=object)
     if n == 0:
         return out
-    arr = pc.fill_null(pa.array(texts, from_pandas=True), "")
-    lower_a = pc.utf8_lower(arr)
-    toks = pc.split_pattern_regex(lower_a, "[^a-zA-ZÀ-ɏ]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offsets = toks.offsets.to_numpy().astype(np.int64)
-    flat = toks.values
+    flat, offsets, nonempty = tokenize_flat(texts, "[^a-zA-ZÀ-ɏ]+")
     codes = pc.fill_null(pc.index_in(flat, value_set=pa.array(_ALL_MARKERS)),
                          -1).to_numpy(zero_copy_only=False).astype(np.int64)
     masks = _MARKER_LUT[codes + 1]
-    # split keeps empty boundary tokens; they must not count as words
-    nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0) \
-        .astype(np.int64)
 
-    def seg(v: np.ndarray) -> np.ndarray:
-        c = np.concatenate([[0], np.cumsum(v)])
-        return (c[offsets[1:]] - c[offsets[:-1]]).astype(np.float64)
-
-    denom = np.maximum(seg(nonempty), 1.0)
+    denom = np.maximum(segment_sums(nonempty, offsets), 1.0)
     scores = np.empty((n, len(_LANGS)), dtype=np.float64)
     for j in range(len(_LANGS)):
-        scores[:, j] = seg((masks >> j) & 1) / denom
+        scores[:, j] = segment_sums((masks >> j) & 1, offsets) / denom
     best = scores.argmax(axis=1)
     best_score = scores.max(axis=1)
     lang_arr = np.array(_LANGS, dtype=object)
     out = np.where(best_score > 0.02, lang_arr[best], out)
-    cjk = pc.count_substring_regex(arr, "[一-鿿]") \
+    cjk = pc.count_substring_regex(
+        pc.fill_null(pa.array(texts, from_pandas=True), ""), "[一-鿿]") \
         .to_numpy(zero_copy_only=False)
     out[cjk > 0] = "zh"
     return out
@@ -318,16 +342,8 @@ def repetition_scores(texts: pd.Series) -> pd.DataFrame:
         return pd.DataFrame({"n_words": pd.Series(dtype="int64"),
                              "n_distinct_words": pd.Series(dtype="int64"),
                              "repetition_ratio": pd.Series(dtype="float64")})
-    arr = pc.utf8_lower(pc.fill_null(pa.array(texts, from_pandas=True), ""))
-    toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offsets = toks.offsets.to_numpy().astype(np.int64)
-    flat = toks.values
-    nonempty = pc.cast(pc.greater(pc.utf8_length(flat), 0), pa.int64()) \
-        .to_numpy(zero_copy_only=False)
-    c = np.concatenate([[0], np.cumsum(nonempty)])
-    n_words = c[offsets[1:]] - c[offsets[:-1]]
+    flat, offsets, nonempty = tokenize_flat(texts, "[^a-z0-9]+")
+    n_words = segment_sums(nonempty, offsets)
     # global token codes; empty boundary tokens get code of "" and are
     # excluded from the distinct count via the nonempty mask
     codes = pc.fill_null(

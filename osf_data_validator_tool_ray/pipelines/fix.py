@@ -59,6 +59,10 @@ def _prepare_sink_dir(path: str, overwrite: bool) -> None:
                 "empty directory (mixing runs corrupts the sink counts)")
         for f in stale:
             os.remove(f)
+    # orphaned dot-tmp files from a run killed mid-write are never valid
+    # sink content — always sweep them
+    for f in glob.glob(os.path.join(path, ".tmp-*")):
+        os.remove(f)
 
 
 def quarantine(
@@ -116,16 +120,22 @@ def quarantine(
             mask = pa.array(bad_mask)
             bad = batch.filter(mask)
             clean = batch.filter(pc.invert(mask))
-            # part name = content hash of the batch identity: a retried
-            # task re-derives the SAME name and atomically overwrites
+            # part name = content hash of the WHOLE batch (every column's
+            # deterministic row hashes, pandas SipHash — process-stable):
+            # a retried task re-derives the SAME name and atomically
+            # overwrites; two batches that differ in ANY cell (not just
+            # the key column) derive different names, so distinct batches
+            # never clobber each other even when their key contents match
             import hashlib
 
             import pandas as pd
-            row_h = pd.util.hash_pandas_object(
-                col.to_pandas(), index=False).to_numpy()
-            part = hashlib.md5(
-                row_h.tobytes() + batch.num_rows.to_bytes(8, "little")
-            ).hexdigest()[:16]
+            h = hashlib.md5(batch.num_rows.to_bytes(8, "little"))
+            for name in batch.column_names:
+                series = batch.column(name).to_pandas()
+                h.update(pd.util.hash_pandas_object(
+                    series, index=False,
+                    hash_key="0123456789abcdef").to_numpy().tobytes())
+            part = h.hexdigest()[:16]
 
             def publish(tbl: pa.Table, out_dir: str) -> None:
                 import pyarrow.parquet as pq

@@ -455,19 +455,18 @@ def distinct_counts(
         return pa.table({f"n_{c}": pa.array([len(sets[c])], type=pa.int64())
                          for c in cols})
 
-    # overflow: per-column groupby over its own per-batch-distinct
-    # partials — the number of groups IS the distinct count; the
-    # exchange moves partial values, never raw rows, and no driver set
+    # overflow: materialize the long-format partials ONCE (one re-execution
+    # of the single combiner pass — never a per-column rescan of the raw
+    # table), then per-column groupby over the partial values: the number
+    # of groups IS the distinct count; the exchange moves partial values,
+    # never raw rows, and no driver set
     from ..checks.cardinality import coalesce_partials
 
-    def col_partial(batch: pa.Table, c: str) -> pa.Table:
-        u = pd.unique(batch.column(c).to_pandas().dropna())
-        return pa.table({c: pa.array(u, type=batch.schema.field(c).type)})
-
+    parts_mat = parts.materialize()
     counts = {}
     for c in cols:
-        col_parts = ds.select_columns([c]).map_batches(
-            lambda t, c=c: col_partial(t, c),
+        col_parts = parts_mat.map_batches(
+            lambda t, c=c: t.select([c]).drop_null(),
             batch_format="pyarrow", batch_size=None)
         grouped = coalesce_partials(col_parts).groupby(c) \
             .aggregate(Count(alias_name="_c"))
@@ -657,18 +656,35 @@ def hash_join(
     hash-partitioned join when present (Ray >= 2.46), else the portable
     tagged-union fallback: union both sides with a side marker,
     groupby(key), per-key pandas merge.  ``use_native`` pins a path for
-    testing."""
+    testing.
+
+    Right-side non-key columns that duplicate a left column name are
+    DROPPED on every path (the left side wins), so the output schema
+    does not depend on which path the size gate picks.  The size gate
+    itself costs one materialization of the right side; for big-big
+    joins that pins a copy the native join then re-shuffles — the
+    deliberate trade (pin + spill) over re-executing the right side's
+    lineage twice.  Caveat: the pandas-kernel paths NaN-promote
+    unmatched left-join columns per batch, as pandas merges do."""
     import ray as _ray
 
     n = num_partitions or max(2, int(_ray.cluster_resources().get("CPU", 8)))
     rmat = right.materialize()
     small_right = fits_driver_merge(rmat, broadcast_threshold)
     if small_right and how in ("inner", "left") and use_native is not True:
-        return broadcast_join(left, rmat, key, how=how)
+        lcols_b = set(left.schema().names)
+        r_keep_b = [c for c in rmat.schema().names
+                    if c == key or c not in lcols_b]
+        return broadcast_join(left, rmat.select_columns(r_keep_b), key,
+                              how=how)
     if use_native is None:
         use_native = hasattr(ray.data.Dataset, "join") and not small_right
     if use_native:
-        return left.join(rmat, join_type=how, num_partitions=n, on=(key,))
+        lcols_n = set(left.schema().names)
+        r_keep_n = [c for c in rmat.schema().names
+                    if c == key or c not in lcols_n]
+        return left.join(rmat.select_columns(r_keep_n), join_type=how,
+                         num_partitions=n, on=(key,))
 
     lschema = left.schema()
     rschema = rmat.schema()

@@ -364,12 +364,16 @@ def sequence_regressions(
     take the keyed map_groups exchange."""
 
     def _flag(df: pd.DataFrame) -> pd.DataFrame:
-        # df must be sorted by (key, seq, ts); vectorized lag + key mask
+        # df must be sorted by (key, seq, ts); vectorized lag + key mask.
+        # NaT converts to int64 min — rows with a NULL timestamp (or a
+        # NULL predecessor) are NOT evaluable, matching the SQL oracle's
+        # NULL-propagating `ts < prev_ts` comparison.
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        prev = np.concatenate([[np.iinfo(np.int64).min], ts[:-1]])
+        nat = np.iinfo(np.int64).min
+        prev = np.concatenate([[nat], ts[:-1]])
         same_key = np.concatenate(
             [[False], df[key].to_numpy()[1:] == df[key].to_numpy()[:-1]])
-        bad = same_key & (ts < prev)
+        bad = same_key & (ts != nat) & (prev != nat) & (ts < prev)
         out = df.loc[bad, [key, seq_col, ts_col]].copy()
         out["prev_ts"] = pd.to_datetime(prev[bad], unit="us")
         return out

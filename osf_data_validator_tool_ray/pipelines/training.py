@@ -175,13 +175,12 @@ def unigram_logprob_scores(
 
     from .relational import grouped_agg
 
+    from ..functions.text import segment_sums, tokenize_flat
+
     def tok_partial(batch: pa.Table) -> pa.Table:
-        arr = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
-        toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
-        flat = toks.combine_chunks().values \
-            if isinstance(toks, pa.ChunkedArray) else toks.values
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-        return pa.table({"token": flat})
+        flat, _offsets, nonempty = tokenize_flat(
+            batch.column(text_col).combine_chunks(), "[^a-z0-9]+")
+        return pa.table({"token": flat.filter(pa.array(nonempty.astype(bool)))})
 
     tokens = ds.select_columns([text_col]).map_batches(
         tok_partial, batch_format="pyarrow", batch_size=65536)
@@ -215,23 +214,16 @@ def unigram_logprob_scores(
             self.lps = lps
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            arr = pc.utf8_lower(pc.fill_null(t.column(text_col), ""))
-            toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            offsets = toks.offsets.to_numpy().astype(np.int64)
-            flat = toks.values
-            nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-                        > 0)
+            from ..functions.text import segment_sums, tokenize_flat
+            flat, offsets, nonempty = tokenize_flat(
+                t.column(text_col).combine_chunks(), "[^a-z0-9]+")
             idx = pc.fill_null(pc.index_in(flat, value_set=self.vocab), -1) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             tok_lp = np.where(idx >= 0, self.lps[np.maximum(idx, 0)],
                               floor_lp)
-            tok_lp = np.where(nonempty, tok_lp, 0.0)
-            c = np.concatenate([[0.0], np.cumsum(tok_lp)])
-            sums = c[offsets[1:]] - c[offsets[:-1]]
-            cn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
-            ns = cn[offsets[1:]] - cn[offsets[:-1]]
+            tok_lp = np.where(nonempty.astype(bool), tok_lp, 0.0)
+            sums = segment_sums(tok_lp, offsets)
+            ns = segment_sums(nonempty, offsets)
             keep = ns > 0
             return pa.table({
                 id_col: t.column(id_col).filter(pa.array(keep)),

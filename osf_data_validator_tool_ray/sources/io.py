@@ -96,7 +96,14 @@ def read_table(
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     if HAVE_LANCE and path.endswith(".lance"):
-        return ray.data.read_lance(path, **kwargs)
+        ds = ray.data.read_lance(path, **kwargs)
+        if filter is not None:
+            # no scan-level pushdown wired for Lance here; apply the
+            # same expression per batch so results NEVER silently
+            # diverge from the parquet path (correctness over pruning)
+            ds = ds.map_batches(lambda t, f=filter: t.filter(f),
+                                batch_format="pyarrow", batch_size=None)
+        return ds
     if filter is not None:
         kwargs["filter"] = filter
     if any(ch in path for ch in "*?["):

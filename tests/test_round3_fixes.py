@@ -392,3 +392,68 @@ def test_sequence_regressions_paths_agree():
     pd.testing.assert_frame_equal(
         a[["k", "seq"]], b[["k", "seq"]])
     assert (a["ts"].to_numpy() == b["ts"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# review follow-ups: batch-content part names, NaT sequences, audio decode
+# failures, heavy-hitter candidate enumeration
+# ---------------------------------------------------------------------------
+
+def test_quarantine_identical_key_batches_do_not_collide(tmp_path):
+    """Two batches whose KEY contents are identical but whose payloads
+    differ must write distinct parts (part name hashes every column)."""
+    from osf_data_validator_tool_ray.pipelines.fix import (
+        quarantine, quarantine_counts_from_footers)
+
+    # constant key column; payload differs per row
+    df = pd.DataFrame({"k": ["same"] * 400, "v": np.arange(400)})
+    c, q = str(tmp_path / "c"), str(tmp_path / "q")
+    res = quarantine(ray.data.from_pandas(df).repartition(4), [], "k", c, q)
+    assert res["n_clean"] == 400
+    assert quarantine_counts_from_footers(c) == 400   # nothing clobbered
+    got = ray.data.read_parquet(c).to_pandas()
+    assert sorted(got["v"]) == list(range(400))
+
+
+def test_sequence_regressions_null_ts_not_flagged():
+    from osf_data_validator_tool_ray.pipelines.streaming import (
+        sequence_regressions)
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4,
+        "seq": [1, 2, 3, 4],
+        "ts": pd.to_datetime([100, None, 150, 120], unit="s"),
+    })
+    out = sequence_regressions(ray.data.from_pandas(df), "k", "ts", "seq") \
+        .to_pandas()
+    # seq2 (NULL ts) not flagged; seq3 (prev is NULL) not flagged;
+    # seq4 (120 < 150) IS a real regression
+    assert out["seq"].tolist() == [4]
+
+
+def test_audio_near_dup_corrupt_payloads_do_not_pair():
+    from osf_data_validator_tool_ray.audio import encode
+    from osf_data_validator_tool_ray.checks.dedup import audio_near_dup_pairs
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float32) / sr
+    good = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = [{"clip_id": 0, "bytes": encode(good, sr, "pcm_s16le")},
+            {"clip_id": 1, "bytes": b"not audio at all"},
+            {"clip_id": 2, "bytes": b"\x00" * 64},
+            {"clip_id": 3, "bytes": encode(good[:8], sr, "pcm_s16le")}]
+    pairs = audio_near_dup_pairs(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(2),
+        "bytes", "clip_id").to_pandas()
+    assert len(pairs) == 0        # corrupt/short clips never pair
+
+
+def test_hash_join_overlapping_nonkey_column_dropped():
+    from osf_data_validator_tool_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    right = pd.DataFrame({"k": [1, 2], "v": [99, 98], "w": [7, 8]})
+    out = hash_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right), "k").to_pandas()
+    assert sorted(out.columns) == ["k", "v", "w"]
+    assert sorted(out["v"]) == [10, 20]       # left side wins
