@@ -171,13 +171,22 @@ def train_ivf_centroids(
     sample_rows: int = 10_000,
     iters: int = 8,
     seed: int = 17,
+    order_col: "str | None" = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: spherical k-means (Lloyd, cosine) on a
     bounded sample.  The sample and the centroid table are tiny by
     construction (sample_rows x d floats), so training is a driver-side
     numpy loop; at fleet scale you train once and persist the centroids
-    like any model artifact."""
-    sample = ds.select_columns([emb_col]).limit(sample_rows).to_pandas()
+    like any model artifact.
+
+    Pass ``order_col`` to sort the collected sample before training:
+    block ARRIVAL order under a busy Ray session is not deterministic,
+    and the k-means init draws indices — without a canonical order the
+    trained centroids (and downstream recall) would vary run to run."""
+    cols = [emb_col] + ([order_col] if order_col else [])
+    sample = ds.select_columns(cols).limit(sample_rows).to_pandas()
+    if order_col:
+        sample = sample.sort_values(order_col, kind="stable")
     m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     n_c = min(n_centroids, len(m))
@@ -217,7 +226,8 @@ def ann_topk_ivf(
     top-k merge.  Expected candidate fraction ~ nprobe/n_centroids."""
     q = _normalize(np.asarray(queries, dtype=np.float32))
     cents = train_ivf_centroids(ds, emb_col, n_centroids=n_centroids,
-                                sample_rows=sample_rows, seed=seed)
+                                sample_rows=sample_rows, seed=seed,
+                                order_col=id_col)
     nprobe = min(nprobe, len(cents))
     qsim = q @ cents.T                                   # (nq, n_c)
     probed = np.unique(
