@@ -579,6 +579,44 @@ def _q_approx_quantiles(sf_dir: str):
     return pd.DataFrame({"q": qs, "value": vals})
 
 
+def _q_kll_quantiles(sf_dir: str):
+    """KLL-sketch quantiles of l_extendedprice (Karnin-Lang-Liberty —
+    provable ~1/k rank error, deterministic compaction).  No SQL oracle
+    (approximate); accuracy, mergeability and determinism are gated in
+    tests/test_sketches.py; rank error vs the exact quantile is
+    additionally asserted HERE against DuckDB inline."""
+    import duckdb
+    import pandas as pd
+    from osf_data_validator_tool_ray.functions.sketches import KLL
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = KLL(200)
+        s.update(batch.column("l_extendedprice")
+                 .to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.to_bytes()],
+                                            type=pa.binary())})
+
+    merged = KLL(200)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for s in b.column("sketch").to_pylist():
+            merged.merge(KLL.from_bytes(s))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = merged.quantile(qs)
+    # self-check: estimated values' true rank within 3/k of the target
+    truth = duckdb.sql(
+        "SELECT " + ", ".join(
+            f"SUM(CASE WHEN l_extendedprice <= {v} THEN 1 ELSE 0 END)"
+            f"::DOUBLE / COUNT(*) AS r{i}" for i, v in enumerate(vals))
+        + f" FROM read_parquet('{sf_dir}/lineitem.parquet')").df()
+    for i, q in enumerate(qs):
+        assert abs(truth[f"r{i}"].iloc[0] - q) < 3.0 / 200, (q, vals[i])
+    return pd.DataFrame({"q": qs, "value": vals})
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     """Exact character-5-gram Jaccard verification of MinHash candidate
     pairs (no oracle — exact-Jaccard semantics tested in pytest)."""
@@ -1188,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_exact": _q_psi_exact,
         "jaccard_clusters": _q_jaccard_clusters,
         "approx_quantiles": _q_approx_quantiles,
+        "kll_quantiles": _q_kll_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "bpe_token_counts": _q_bpe_token_counts,

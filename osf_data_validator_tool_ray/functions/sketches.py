@@ -12,6 +12,8 @@ Implementations follow the public algorithms:
   * Bloom filter (Bloom 1970), double hashing (Kirsch & Mitzenmacher)
   * Streaming histogram (Ben-Haim & Tom-Tov 2010) for quantiles — the
     mergeable t-digest-style quantile sketch
+  * KLL compactor sketch (Karnin-Lang-Liberty 2016) — the
+    provable-rank-error quantile tier
   * KS statistic from merged CDFs; PSI over fixed baseline bins
 """
 
@@ -294,3 +296,113 @@ def freq_table_psi(expected: dict, actual: dict) -> float:
     e = np.array([expected.get(k, 0) for k in keys], dtype=np.float64)
     a = np.array([actual.get(k, 0) for k in keys], dtype=np.float64)
     return psi(e, a)
+
+
+class KLL:
+    """KLL quantile sketch (Karnin-Lang-Liberty, FOCS 2016): a mergeable
+    multi-level compactor with O(k) space and rank error ~O(1/k),
+    independent of stream length — the provable-bound quantile tier
+    beside StreamHist's heuristic centroids.
+
+    Levels hold value buffers; a full level sorts and keeps every other
+    item (weight doubles), pushing survivors up.  Compaction offsets
+    alternate deterministically (the standard practical derandomization;
+    same trick as Apache DataSketches' deterministic mode), so identical
+    inputs always yield identical sketches — required for the engine's
+    partitioning-invariance tests.  Level capacities shrink geometrically
+    (c = 2/3) below the top ``k``."""
+
+    _C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._flips: list[bool] = [False]
+
+    def _capacity(self, height_from_top: int) -> int:
+        return max(2, int(np.ceil(self.k * (self._C ** height_from_top))))
+
+    def update(self, values) -> "KLL":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            top = len(self.levels) - 1
+            cap = self._capacity(top - h)
+            buf = self.levels[h]
+            if len(buf) > cap:
+                buf = np.sort(buf)
+                off = 1 if self._flips[h] else 0
+                self._flips[h] = not self._flips[h]
+                survivors = buf[off::2]
+                self.levels[h] = np.empty(0, dtype=np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                    self._flips.append(False)
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], survivors])
+            h += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        self.n += other.n
+        for h, buf in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self._flips.append(False)
+            self.levels[h] = np.concatenate([self.levels[h], buf])
+        self._compress()
+        return self
+
+    def _weighted(self) -> "tuple[np.ndarray, np.ndarray]":
+        vals, wts = [], []
+        for h, buf in enumerate(self.levels):
+            if len(buf):
+                vals.append(buf)
+                wts.append(np.full(len(buf), 1 << h, dtype=np.int64))
+        if not vals:
+            return (np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.int64))
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, qs) -> np.ndarray:
+        v, w = self._weighted()
+        out = np.full(len(np.atleast_1d(qs)), np.nan)
+        if len(v) == 0:
+            return out
+        cum = np.cumsum(w)
+        total = cum[-1]
+        for i, q in enumerate(np.atleast_1d(qs)):
+            target = q * total
+            out[i] = v[min(np.searchsorted(cum, target, side="left"),
+                           len(v) - 1)]
+        return out
+
+    def rank(self, x: float) -> float:
+        """Estimated fraction of items <= x."""
+        v, w = self._weighted()
+        if len(v) == 0:
+            return 0.0
+        idx = np.searchsorted(v, x, side="right")
+        return float(np.sum(w[:idx]) / np.sum(w))
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.k, self.n, self.levels, self._flips))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLL":
+        k, n, levels, flips = pickle.loads(b)
+        s = cls(k)
+        s.n, s.levels, s._flips = n, levels, flips
+        return s

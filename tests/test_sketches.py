@@ -83,3 +83,43 @@ def test_psi():
     assert psi(np.array([90, 10]), np.array([10, 90])) > 1.0
     assert freq_table_psi({"a": 100, "b": 100}, {"a": 100, "b": 100}) < 1e-9
     assert freq_table_psi({"a": 200}, {"a": 100, "b": 100}) > 0.2
+
+
+def test_kll_accuracy_merge_and_determinism():
+    from osf_data_validator_tool_ray.functions.sketches import KLL
+
+    rng = np.random.default_rng(3)
+    data = np.concatenate([rng.normal(0, 1, 120_000),
+                           rng.exponential(4, 40_000)])
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    true = np.quantile(data, qs)
+
+    s = KLL(200)
+    for chunk in np.array_split(data, 32):
+        s.update(chunk)
+    # KLL rank error ~ O(1/k); assert a comfortable 3x bound
+    for q, t in zip(qs, true):
+        assert abs(s.rank(t) - q) < 3.0 / 200, (q, s.rank(t))
+
+    # mergeable: shard sketches merged match the bound too
+    shards = [KLL(200).update(c) for c in np.array_split(data, 8)]
+    m = shards[0]
+    for sh in shards[1:]:
+        m.merge(sh)
+    assert m.n == len(data)
+    for q, t in zip(qs, true):
+        assert abs(m.rank(t) - q) < 3.0 / 200
+
+    # deterministic: same input stream -> identical serialized sketch
+    a = KLL(100).update(data[:50_000]).to_bytes()
+    b = KLL(100).update(data[:50_000]).to_bytes()
+    assert a == b
+    # round-trip
+    r = KLL.from_bytes(a)
+    assert np.allclose(r.quantile(qs), KLL.from_bytes(b).quantile(qs))
+
+    # NaN and empty handling
+    e = KLL(50)
+    assert np.isnan(e.quantile([0.5])[0]) and e.rank(0.0) == 0.0
+    e.update([np.nan, 1.0, np.nan])
+    assert e.n == 1 and e.quantile([0.5])[0] == 1.0
