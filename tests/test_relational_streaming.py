@@ -336,6 +336,14 @@ def test_group_quantiles_approx_close_to_exact():
         spread = df[df.k == kk]["v"].std() + 1e-9
         assert abs(exact.loc[kk, "q50"] - approx.loc[kk, "q50"]) < 0.25 * spread
         assert abs(exact.loc[kk, "q90"] - approx.loc[kk, "q90"]) < 0.25 * spread
+    # the KLL tier tracks exact too (provable rank error)
+    kll = group_quantiles(ds, "k", "v", [0.5, 0.9], approx=True,
+                          sketch="kll", max_bins=200) \
+        .to_pandas().set_index("k").sort_index()
+    for kk in exact.index:
+        spread = df[df.k == kk]["v"].std() + 1e-9
+        assert abs(exact.loc[kk, "q50"] - kll.loc[kk, "q50"]) < 0.25 * spread
+        assert abs(exact.loc[kk, "q90"] - kll.loc[kk, "q90"]) < 0.25 * spread
 
 
 def test_asof_presplit_parity():
