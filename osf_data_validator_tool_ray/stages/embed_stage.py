@@ -41,20 +41,35 @@ class TextEmbedder:
             (1 << _VOCAB_BITS, dim)).astype(np.float32)
 
     def _embed_batch(self, texts: "pd.Series") -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        """Mean of hashed-token projections per text, L2-normalized.
+        Vectorized end to end: ONE tokenizing split for the whole batch,
+        ONE hash of the flat token column, projection gather + per-row
+        segment means — no per-row Python loop."""
+        from ..functions.text import segment_sums, tokenize_flat
+
+        n = len(texts)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        if n == 0:
+            return out
         mask = np.uint64((1 << _VOCAB_BITS) - 1)
-        for i, t in enumerate(texts):
-            if not isinstance(t, str) or not t:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            ids = (pd.util.hash_array(np.asarray(toks, dtype=object),
-                                      hash_key="0123456789abcdef")
-                   .astype(np.uint64) & mask).astype(np.int64)
-            v = self.proj[ids].mean(axis=0)
-            n = np.linalg.norm(v)
-            out[i] = v / n if n > 0 else v
+        flat, offsets, nonempty = tokenize_flat(texts, r"\s+")
+        if len(flat) == 0:
+            return out
+        toks = flat.to_numpy(zero_copy_only=False)
+        ids = (pd.util.hash_array(toks, hash_key="0123456789abcdef")
+               .astype(np.uint64) & mask).astype(np.int64)
+        vecs = self.proj[ids]                      # float32, like the
+        vecs[~nonempty.astype(bool)] = 0.0        # old per-row mean path
+        # offsets are strictly increasing (split yields >= 1 element per
+        # row), so reduceat segments map 1:1 to rows — one pass, no
+        # (tokens x dim) cumsum temporary
+        sums = np.add.reduceat(vecs, offsets[:-1], axis=0)
+        counts = segment_sums(nonempty, offsets)
+        have = counts > 0
+        means = sums[have] / counts[have, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        out[have] = (means / norms).astype(np.float32)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
