@@ -69,18 +69,17 @@ def exact_ks(
 
     parts = ds.select_columns([value_col, side_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=None)
-    merged: dict = {}
-    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
-        for v, na, nb in zip(t.column("v").to_pylist(),
-                             t.column("a").to_pylist(),
-                             t.column("b").to_pylist()):
-            ca, cb = merged.get(v, (0, 0))
-            merged[v] = (ca + na, cb + nb)
-    if not merged:
+    frames = [t.to_pandas()
+              for t in parts.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
+    if not frames:
         return 0.0
-    vals = np.array(sorted(merged))
-    na = np.array([merged[v][0] for v in vals], dtype=np.float64)
-    nb = np.array([merged[v][1] for v in vals], dtype=np.float64)
+    agg = pd.concat(frames, ignore_index=True) \
+        .groupby("v", sort=True)[["a", "b"]].sum()
+    if len(agg) == 0:
+        return 0.0
+    na = agg["a"].to_numpy(dtype=np.float64)
+    nb = agg["b"].to_numpy(dtype=np.float64)
     ta, tb = na.sum(), nb.sum()
     if ta == 0 or tb == 0:
         return 0.0
