@@ -301,6 +301,24 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def _wait_for_quiet(max_wait_s: int = 180, bar: float = 2.0) -> None:
+        # the HIGH-cpu leg absorbs ambient load disproportionately (it
+        # needs all cores; the low leg uses a fraction and is stable) —
+        # observed efficiencies 0.96 quiet / 0.79 at load 3-4 / 0.71 at
+        # load 13 for the SAME binary.  Wait briefly for a quiet window
+        # before each rep; proceed anyway after max_wait_s so a busy
+        # machine still produces a (pessimistic) number.
+        waited = 0
+        while waited < max_wait_s:
+            try:
+                load1 = float(open("/proc/loadavg").read().split()[0])
+            except OSError:
+                return
+            if load1 < bar:
+                return
+            time.sleep(15)
+            waited += 15
+
     def run(ncpu: int) -> dict:
         # best of RAY_GRAFT_SCALE_REPS fresh processes per level: ambient
         # sandbox load perturbs BOTH legs by 10-16% run to run (observed
@@ -309,7 +327,10 @@ def run_scaling() -> dict:
         # the standard noise floor for a fixed workload (both levels get
         # the same treatment)
         reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "3"))
-        results = [run_once(ncpu) for _ in range(reps)]
+        results = []
+        for _ in range(reps):
+            _wait_for_quiet()
+            results.append(run_once(ncpu))
         return min(results, key=lambda r: r["value"])
 
     _scaling_clips_meta()   # synth/caches the dataset outside the timed runs
