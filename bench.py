@@ -66,6 +66,24 @@ def _clips_suite_once(meta: dict) -> int:
     return res.violations.count()
 
 
+def wait_for_quiet(max_wait_s: int = 120, bar: float = 2.0) -> None:
+    """Bounded wait for an ambient-load lull (1-min load-avg < bar).
+    Measured on this sandbox: the same bench binary reads 11-15s quiet
+    and 30-57s under ambient load spikes; noise only ADDS time, so
+    starting in a lull is the single biggest lever for a faithful
+    driver-recorded number.  Proceeds after max_wait_s regardless."""
+    waited = 0
+    while waited < max_wait_s:
+        try:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            return
+        if load1 < bar:
+            return
+        time.sleep(10)
+        waited += 10
+
+
 def _best_of(fn, reps: int = 0) -> dict:
     """Run a timed section ``reps`` times, keep the fastest (ambient
     sandbox load only ADDS time — min-of-reps converges on the true
@@ -247,8 +265,11 @@ def run_bench() -> dict:
         return out
 
     # synthesize/caches clips BEFORE ray.init so the timed section is
-    # pure pipeline execution (also warms the page cache)
+    # pure pipeline execution (also warms the page cache); then wait
+    # (bounded) for an ambient-load lull so the recorded numbers measure
+    # the pipeline, not the sandbox's other tenants
     meta = _clips_meta(sf)
+    wait_for_quiet()
 
     import ray
     if not ray.is_initialized():
@@ -301,24 +322,6 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def _wait_for_quiet(max_wait_s: int = 180, bar: float = 2.0) -> None:
-        # the HIGH-cpu leg absorbs ambient load disproportionately (it
-        # needs all cores; the low leg uses a fraction and is stable) —
-        # observed efficiencies 0.96 quiet / 0.79 at load 3-4 / 0.71 at
-        # load 13 for the SAME binary.  Wait briefly for a quiet window
-        # before each rep; proceed anyway after max_wait_s so a busy
-        # machine still produces a (pessimistic) number.
-        waited = 0
-        while waited < max_wait_s:
-            try:
-                load1 = float(open("/proc/loadavg").read().split()[0])
-            except OSError:
-                return
-            if load1 < bar:
-                return
-            time.sleep(15)
-            waited += 15
-
     def run(ncpu: int) -> dict:
         # best of RAY_GRAFT_SCALE_REPS fresh processes per level: ambient
         # sandbox load perturbs BOTH legs by 10-16% run to run (observed
@@ -326,10 +329,14 @@ def run_scaling() -> dict:
         # ADDS time, so min-of-reps converges on the true compute time —
         # the standard noise floor for a fixed workload (both levels get
         # the same treatment)
+        # the HIGH-cpu leg absorbs ambient load disproportionately (the
+        # low leg uses a fraction of the socket and is stable) —
+        # observed efficiencies 0.96 quiet / 0.79 at load 3-4 / 0.71 at
+        # load 13 for the SAME binary; wait for a lull before each rep
         reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "3"))
         results = []
         for _ in range(reps):
-            _wait_for_quiet()
+            wait_for_quiet(max_wait_s=180)
             results.append(run_once(ncpu))
         return min(results, key=lambda r: r["value"])
 
