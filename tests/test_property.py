@@ -101,3 +101,65 @@ def test_streamhist_merge_n_preserved(values, splits):
     assert merged.n == len(values)
     q = merged.quantile(0.5)[0]
     assert min(values) <= q <= max(values)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3000),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=2000))
+@settings(max_examples=40, deadline=None)
+def test_pack_sequences_greedy_property(tokens, budget):
+    """Arbitrary token lists + budgets: the distributed packer equals a
+    pure-Python greedy fold, packs are contiguous 0..P-1, and no pack
+    exceeds the budget except single-oversized-doc packs."""
+    import ray.data
+
+    from osf_data_validator_tool_ray.pipelines.training import pack_sequences
+
+    df = pd.DataFrame({"g": 0, "doc_id": range(len(tokens)),
+                       "n": tokens})
+    out = pack_sequences(ray.data.from_pandas(df).repartition(2),
+                         "g", "doc_id", "n", budget=budget) \
+        .to_pandas().sort_values("doc_id")
+
+    ref, acc, pid, started = [], 0, 0, False
+    for t in tokens:
+        if started and acc + t <= budget:
+            acc += t
+        else:
+            if started:
+                pid += 1
+            acc = t
+            started = True
+        ref.append(pid)
+    assert out["pack_id"].tolist() == ref
+    totals = out.groupby("pack_id")["n"].sum()
+    sizes = out.groupby("pack_id").size()
+    assert list(totals.index) == list(range(len(totals)))
+    for p, tot in totals.items():
+        assert tot <= budget or sizes[p] == 1
+
+
+@given(st.text(max_size=200), st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=40, deadline=None)
+def test_chunk_documents_property(text, size, stride):
+    """Windows reconstruct the document: chunk 0 + the non-overlap tail
+    of each later chunk == the original text; counts match the formula."""
+    import ray.data
+
+    from osf_data_validator_tool_ray.pipelines.training import (
+        chunk_documents)
+
+    df = pd.DataFrame({"doc_id": [1], "text": [text]})
+    out = chunk_documents(ray.data.from_pandas(df), "text", "doc_id",
+                          size=size, stride=stride) \
+        .to_pandas().sort_values("chunk_id")
+    chunks = out["chunk"].tolist()
+    L = len(text)
+    want_n = 1 if L <= size else -(-(L - size) // stride) + 1
+    assert len(chunks) == want_n
+    if stride <= size:                       # overlapping windows cover
+        rebuilt = chunks[0] + "".join(c[size - stride:] for c in chunks[1:])
+        assert rebuilt == text
+    for c in chunks:
+        assert len(c) <= size
