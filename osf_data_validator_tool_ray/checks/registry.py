@@ -193,3 +193,26 @@ def check_sequence_order(ctx: RunContext, key: str = "", ts: str = "",
             expected=f"{ts} non-decreasing in {seq} order")
 
     return out.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+@register("drift_exact")
+def check_drift_exact(ctx: RunContext, value: str = "", side: str = "",
+                      a: str = "", b: str = "", ks_threshold: str = "0.1"):
+    """Exact two-slice KS drift (DRIFT-102): the SQL-checkable tier —
+    compares ``value``'s distribution between rows where side==a and
+    side==b (codec cohorts, time buckets, sources).  Use the sketch
+    `drift` check for continuous columns / baseline profiles."""
+    from ..stages.base_ids import DRIFT_102
+    from .base import make_violations
+    from .drift import exact_ks
+
+    names = set(ctx.meta_ds.schema().names)
+    if not (value and side and {value, side} <= names):
+        return None
+    ks = exact_ks(ctx.meta_ds, value, side, a, b)
+    if ks <= float(ks_threshold):
+        from .base import empty_violations
+        return empty_violations()
+    return make_violations(
+        DRIFT_102, [f"{side}={a} vs {side}={b}"], value, [f"ks={ks:.4f}"],
+        expected=f"exact KS <= {ks_threshold}")

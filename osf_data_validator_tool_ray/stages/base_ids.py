@@ -19,3 +19,4 @@ DECODE_101 = "DECODE-101"                    # decoded stats contradict metadata
 DRIFT_100 = "DRIFT-100"                      # KS/PSI distribution drift
 RECONCILE_100 = "RECONCILE-100"              # cross-table aggregate mismatch
 SEQ_ORDER_100 = "SEQ-ORDER-100"              # timestamp regression in sequence order
+DRIFT_102 = "DRIFT-102"                      # exact two-slice KS drift

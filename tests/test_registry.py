@@ -81,3 +81,36 @@ def test_registry_reconcile_and_sequence_order():
     seqv = frames[1]
     assert seqv["check_id"].tolist() == ["SEQ-ORDER-100"]  # k=1 seq2 ts10<20
     assert seqv["key"].tolist() == ["1"]
+
+
+def test_registry_drift_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.registry import (
+        RunContext, plan_checks)
+    from osf_data_validator_tool_ray.spec import clips_spec
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "v": np.concatenate([rng.integers(0, 10, 2000),      # cohort A
+                             rng.integers(5, 15, 2000)]),    # shifted B
+        "cohort": ["a"] * 2000 + ["b"] * 2000,
+    })
+    ctx = RunContext(ds=ray.data.from_pandas(df).repartition(3),
+                     spec=clips_spec())
+    out = plan_checks(ctx, ["drift_exact?value=v&side=cohort&a=a&b=b"
+                            "&ks_threshold=0.1"])
+    v = out[0].to_pandas() if hasattr(out[0], "to_pandas") else out[0]
+    if hasattr(v, "to_pandas"):
+        v = v.to_pandas()
+    assert v["check_id"].tolist() == ["DRIFT-102"]
+    # identical cohorts: below threshold -> no violation
+    df2 = pd.DataFrame({"v": np.tile(rng.integers(0, 10, 2000), 2),
+                        "cohort": ["a"] * 2000 + ["b"] * 2000})
+    ctx2 = RunContext(ds=ray.data.from_pandas(df2), spec=clips_spec())
+    out2 = plan_checks(ctx2, ["drift_exact?value=v&side=cohort&a=a&b=b"])
+    v2 = out2[0]
+    v2 = v2.to_pandas() if hasattr(v2, "to_pandas") else v2
+    assert len(v2) == 0
