@@ -16,14 +16,19 @@ ONE streaming pass: each task splits its batch with a vectorized
 and counts come back as the pass's tiny output — no second scan, no
 re-read of the sinks.
 
-Retry safety: part filenames derive deterministically from the BATCH
-CONTENT (md5 of the key column's row hashes + row count), and each part
-is written to a dot-tmp file then published with an atomic
-``os.replace`` — a Ray task retry or lineage re-execution of the same
-batch overwrites its own part instead of accumulating uuid-named
-duplicates, and a killed mid-write task never leaves a readable partial
-file.  Non-empty sink directories are refused (``overwrite=True``
-clears them) so reruns can't mix stale parts with new ones.
+Retry safety: the split-write runs as a ``ray.data.Datasink`` so each
+write task sees its stable ``TaskContext.task_idx``; part filenames are
+``part-{task_idx}-{block_idx}.parquet`` — the same naming contract Ray's
+own file datasinks use for idempotent retries.  A retried task
+re-derives the SAME names and atomically ``os.replace``-publishes over
+its own earlier parts, while two DIFFERENT tasks can never collide even
+when their batch contents are byte-identical (duplicated input blocks
+are exactly the dirty data this validator targets; a content-derived
+name would silently drop one copy).  A killed mid-write task never
+leaves a readable partial file.  Non-empty sink directories are refused
+(``overwrite=True`` clears them) so reruns can't mix stale parts with
+new ones.  After the write, the returned counts are cross-checked
+against the parquet footers of both sinks and a mismatch raises.
 
 Scale: the violating-key set is broadcast via ray.put (read once per
 worker from the object store).  With ``bloom=True`` a Bloom filter of
@@ -65,6 +70,86 @@ def _prepare_sink_dir(path: str, overwrite: bool) -> None:
         os.remove(f)
 
 
+class _QuarantineSink(ray.data.Datasink):
+    """One-pass split-write datasink.
+
+    Splitter state (exact key array + optional Bloom) is fetched from
+    the object store once per write TASK, not per block.  Part names are
+    ``part-{task_idx:06d}-{block_idx:04d}.parquet``: ``ctx.task_idx`` is
+    stable across task retries (the contract Ray's own file datasinks
+    rely on), so a replayed task overwrites its own parts and distinct
+    tasks never collide — even on byte-identical batches.
+    """
+
+    def __init__(self, key_ref, bloom_ref, key_column: str,
+                 clean_dir: str, quarantine_dir: str):
+        self._key_ref = key_ref
+        self._bloom_ref = bloom_ref
+        self._key_column = key_column
+        self._clean_dir = clean_dir
+        self._quarantine_dir = quarantine_dir
+        self.counts = None  # filled by on_write_complete (driver side)
+
+    def _splitter_state(self):
+        from ..functions.sketches import BloomFilter
+
+        key_set = ray.get(self._key_ref)
+        key_arr = pa.array(list(key_set)) if key_set else None
+        bloom = (BloomFilter.from_bytes(ray.get(self._bloom_ref))
+                 if self._bloom_ref is not None else None)
+        return key_arr, bloom
+
+    def _bad_mask(self, col: pa.ChunkedArray, key_arr, bloom) -> np.ndarray:
+        if key_arr is None:
+            return np.zeros(len(col), dtype=bool)
+        if bloom is not None:
+            # definite-miss rows skip the exact probe entirely
+            vals = col.to_numpy(zero_copy_only=False)
+            maybe = bloom.contains(vals)
+            bad = np.zeros(len(col), dtype=bool)
+            if maybe.any():
+                sub = col.filter(pa.array(maybe))
+                exact = pc.is_in(sub, value_set=key_arr) \
+                    .to_numpy(zero_copy_only=False)
+                bad[np.flatnonzero(maybe)] = exact
+            return bad
+        return pc.is_in(col, value_set=key_arr).to_numpy(zero_copy_only=False)
+
+    @staticmethod
+    def _publish(tbl: pa.Table, out_dir: str, part: str) -> None:
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(out_dir, f".tmp-{part}-{uuid.uuid4().hex[:6]}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"part-{part}.parquet"))
+
+    def write(self, blocks, ctx) -> dict:
+        key_arr, bloom = self._splitter_state()
+        n_clean = n_bad = 0
+        for block_idx, block in enumerate(blocks):
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            mask = pa.array(self._bad_mask(
+                block.column(self._key_column), key_arr, bloom))
+            bad = block.filter(mask)
+            clean = block.filter(pc.invert(mask))
+            part = f"{ctx.task_idx:06d}-{block_idx:04d}"
+            if clean.num_rows:
+                self._publish(clean, self._clean_dir, part)
+            if bad.num_rows:
+                self._publish(bad, self._quarantine_dir, part)
+            n_clean += clean.num_rows
+            n_bad += bad.num_rows
+        return {"n_clean": n_clean, "n_quarantined": n_bad}
+
+    def on_write_complete(self, write_result) -> None:
+        self.counts = {
+            "n_clean": sum(r["n_clean"] for r in write_result.write_returns),
+            "n_quarantined": sum(r["n_quarantined"]
+                                 for r in write_result.write_returns),
+        }
+
+
 def quarantine(
     ds: "ray.data.Dataset",
     violating_keys: Iterable,
@@ -76,7 +161,7 @@ def quarantine(
     overwrite: bool = False,
 ) -> dict:
     """Split ``ds`` on membership of ``key_column`` in ``violating_keys``;
-    write both sides in one pass; return counts."""
+    write both sides in one pass; return counts (footer-verified)."""
     from ..functions.sketches import BloomFilter
 
     keys = list(violating_keys)
@@ -89,70 +174,24 @@ def quarantine(
     _prepare_sink_dir(clean_dir, overwrite)
     _prepare_sink_dir(quarantine_dir, overwrite)
 
-    class SplitWriter:
-        """Splitter state (exact key array + optional Bloom) is built
-        once at construction; the serialized instance ships to workers
-        once via the object store, never per batch."""
-
-        def __init__(self):
-            key_set = ray.get(key_ref)
-            self.key_arr = pa.array(list(key_set)) if key_set else None
-            self.bloom = (BloomFilter.from_bytes(ray.get(bloom_ref))
-                          if bloom_ref is not None else None)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch.column(key_column)
-            if self.key_arr is None:
-                bad_mask = np.zeros(batch.num_rows, dtype=bool)
-            elif self.bloom is not None:
-                # definite-miss rows skip the exact probe entirely
-                vals = col.to_numpy(zero_copy_only=False)
-                maybe = self.bloom.contains(vals)
-                bad_mask = np.zeros(batch.num_rows, dtype=bool)
-                if maybe.any():
-                    sub = col.filter(pa.array(maybe))
-                    exact = pc.is_in(sub, value_set=self.key_arr) \
-                        .to_numpy(zero_copy_only=False)
-                    bad_mask[np.flatnonzero(maybe)] = exact
-            else:
-                bad_mask = pc.is_in(col, value_set=self.key_arr) \
-                    .to_numpy(zero_copy_only=False)
-            mask = pa.array(bad_mask)
-            bad = batch.filter(mask)
-            clean = batch.filter(pc.invert(mask))
-            # part name = content hash of the WHOLE batch (every column's
-            # deterministic row hashes, pandas SipHash — process-stable):
-            # a retried task re-derives the SAME name and atomically
-            # overwrites; two batches that differ in ANY cell (not just
-            # the key column) derive different names, so distinct batches
-            # never clobber each other even when their key contents match
-            import hashlib
-
-            import pandas as pd
-            h = hashlib.md5(batch.num_rows.to_bytes(8, "little"))
-            for name in batch.column_names:
-                series = batch.column(name).to_pandas()
-                h.update(pd.util.hash_pandas_object(
-                    series, index=False,
-                    hash_key="0123456789abcdef").to_numpy().tobytes())
-            part = h.hexdigest()[:16]
-
-            def publish(tbl: pa.Table, out_dir: str) -> None:
-                import pyarrow.parquet as pq
-                tmp = os.path.join(out_dir, f".tmp-{part}-{uuid.uuid4().hex[:6]}")
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, os.path.join(out_dir, f"part-{part}.parquet"))
-
-            if clean.num_rows:
-                publish(clean, clean_dir)
-            if bad.num_rows:
-                publish(bad, quarantine_dir)
-            return pa.table({"n_clean": pa.array([clean.num_rows], type=pa.int64()),
-                             "n_quarantined": pa.array([bad.num_rows], type=pa.int64())})
-
-    counts = ds.map_batches(SplitWriter(), batch_format="pyarrow").to_pandas()
-    return {"n_clean": int(counts["n_clean"].sum()),
-            "n_quarantined": int(counts["n_quarantined"].sum()),
+    sink = _QuarantineSink(key_ref, bloom_ref, key_column,
+                           clean_dir, quarantine_dir)
+    ds.write_datasink(sink)
+    counts = sink.counts or {"n_clean": 0, "n_quarantined": 0}
+    # belt-and-braces: the sinks' parquet footers are the ground truth;
+    # any naming collision or lost part surfaces here instead of silently
+    # under-writing while the returned counts claim success
+    footer_clean = quarantine_counts_from_footers(clean_dir)
+    footer_bad = quarantine_counts_from_footers(quarantine_dir)
+    if (footer_clean, footer_bad) != (counts["n_clean"],
+                                      counts["n_quarantined"]):
+        raise RuntimeError(
+            f"quarantine sink verification failed: footers hold "
+            f"({footer_clean} clean, {footer_bad} quarantined) rows but the "
+            f"write pass reported ({counts['n_clean']}, "
+            f"{counts['n_quarantined']}) — sink parts were lost or mixed")
+    return {"n_clean": counts["n_clean"],
+            "n_quarantined": counts["n_quarantined"],
             "clean_dir": clean_dir, "quarantine_dir": quarantine_dir}
 
 

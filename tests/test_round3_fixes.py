@@ -236,7 +236,7 @@ def test_quarantine_parts_deterministic_and_stale_refused(tmp_path):
     with pytest.raises(FileExistsError):
         quarantine(ray.data.from_pandas(df).repartition(4), bad, "k", c, q)
 
-    # overwrite rerun: identical content-derived part names, same counts,
+    # overwrite rerun: identical task-idx-derived part names, same counts,
     # sink row counts == returned counts (a retry overwrites, never adds)
     res2 = quarantine(ray.data.from_pandas(df).repartition(4), bad, "k",
                       c, q, overwrite=True)
@@ -401,7 +401,8 @@ def test_sequence_regressions_paths_agree():
 
 def test_quarantine_identical_key_batches_do_not_collide(tmp_path):
     """Two batches whose KEY contents are identical but whose payloads
-    differ must write distinct parts (part name hashes every column)."""
+    differ must write distinct parts (part names carry the write task's
+    stable task_idx, so distinct tasks can never collide)."""
     from osf_data_validator_tool_ray.pipelines.fix import (
         quarantine, quarantine_counts_from_footers)
 
