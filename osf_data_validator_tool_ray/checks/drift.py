@@ -49,9 +49,15 @@ def exact_ks(
     ONE map_batches pass emits per-batch (value, n_a, n_b) count
     partials — bounded by the column's distinct-value count per batch,
     never its row count — then a tiny driver merge sorts the distinct
-    values and takes max |ECDF_a - ECDF_b|.  Suited to discrete /
-    low-cardinality numeric columns (enum codes, quantized measures);
-    for continuous columns use the StreamHist KS above."""
+    values and takes max |ECDF_a - ECDF_b|.
+
+    The driver merge is row+byte gated (``fits_driver_merge``, same
+    contract as distinct_counts): on overflow the partials first take a
+    grouped-count hash exchange (one row per GLOBAL distinct value —
+    collapses cross-block duplicates), and if even that exceeds the gate
+    (a genuinely continuous column: ~one distinct value per row) the
+    check falls back to the StreamHist sketch-tier KS, which is bounded
+    at max_bins centroids per side regardless of cardinality."""
     import numpy as np
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -67,8 +73,18 @@ def exact_ks(
                                     preserve_index=False) \
             .replace_schema_metadata(None)
 
+    from ..pipelines.relational import fits_driver_merge
+
     parts = ds.select_columns([value_col, side_col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=None)
+        partial, batch_format="pyarrow", batch_size=None).materialize()
+    if not fits_driver_merge(parts):
+        # hash exchange: one row per global distinct value
+        from ray.data.aggregate import Sum
+        parts = parts.groupby("v").aggregate(
+            Sum("a", alias_name="a"), Sum("b", alias_name="b")).materialize()
+        if not fits_driver_merge(parts):
+            # continuous high-cardinality column: bounded sketch tier
+            return _streamhist_ks(ds, value_col, side_col, side_a, side_b)
     frames = [t.to_pandas()
               for t in parts.iter_batches(batch_format="pyarrow",
                                           batch_size=None)]
@@ -84,6 +100,48 @@ def exact_ks(
     if ta == 0 or tb == 0:
         return 0.0
     return float(np.abs(np.cumsum(na) / ta - np.cumsum(nb) / tb).max())
+
+
+def _streamhist_ks(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    max_bins: int = 256,
+) -> float:
+    """Sketch-tier two-slice KS: one map_batches pass builds a
+    StreamHist per side per block (bounded at max_bins centroids each),
+    the driver merges the bounded partials and evaluates the CDF gap.
+    The unbounded-cardinality path for exact_ks's overflow fallback."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        side = batch.column(side_col).to_numpy(zero_copy_only=False)
+        out = []
+        for tag, sel in (("a", side == side_a), ("b", side == side_b)):
+            v = vals[sel]
+            v = v[~pd.isna(v)]
+            if len(v) == 0:
+                continue
+            h = StreamHist(max_bins)
+            h.update(v.astype(np.float64))
+            out.append((tag, base64.b64encode(h.to_bytes()).decode()))
+        return pa.table({"side": pa.array([t for t, _ in out], type=pa.string()),
+                         "hist": pa.array([s for _, s in out], type=pa.string())})
+
+    merged: dict[str, StreamHist] = {}
+    parts = ds.select_columns([value_col, side_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for tag, s in zip(b.column("side").to_pylist(),
+                          b.column("hist").to_pylist()):
+            h = StreamHist.from_bytes(base64.b64decode(s))
+            merged[tag] = merged[tag].merge(h) if tag in merged else h
+    if "a" not in merged or "b" not in merged:
+        return 0.0
+    return float(ks_statistic(merged["a"], merged["b"]))
 
 
 @dataclass
