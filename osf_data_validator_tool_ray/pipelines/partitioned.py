@@ -69,12 +69,18 @@ _cache_fsspec_http_import()
 _BYTES_COLS = ("clip_id", "bytes", "transcript", "sr_hz", "dur_ms", "codec")
 
 
-def _partition_id(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
+def _partition_id(partition: str) -> str:
+    """Checkpoint-record id of a partition.  Lance ``<path>#<frag>`` ids
+    map to ``<stem>_frag<frag>`` so every fragment gets its own record
+    (a bare splitext would collapse all fragments of one table)."""
+    if "#" in partition and partition.rsplit("#", 1)[0].endswith(".lance"):
+        path, frag = partition.rsplit("#", 1)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return f"{stem}_frag{frag}"
+    return os.path.splitext(os.path.basename(partition))[0]
 
 
-@ray.remote
-def _partition_task(
+def _run_partition(
     path: str,
     spec: ConstraintSpec,
     store_root: str,
@@ -85,21 +91,23 @@ def _partition_task(
     meta_exts: list,
     declared_universals: frozenset,
 ) -> dict:
-    """Process ONE partition inside one Ray task: stream the file's
+    """Process ONE partition inside one Ray task: stream the partition's
     batches through the vectorized kernels, write artifacts, record the
     checkpoint.  No nested Ray Data execution — at fleet scale the outer
-    task fan-out IS the parallelism."""
+    task fan-out IS the parallelism.  ``path`` is a partition id in
+    either form ``sources.io.iter_partition_batches`` accepts (parquet
+    file path or Lance ``<path>#<fragment_id>``), so Lance fragments are
+    first-class resume units here, not just in the listing."""
     import pyarrow.parquet as pq
 
+    from ..sources.io import iter_partition_batches, partition_schema_and_rows
     from ..stages.decode_stage import (
         BytesSuitePass, combined_ext_partials, combined_violations)
 
     store = CheckpointStore(store_root)
     pid = _partition_id(path)
     t0 = time.time()
-    pf = pq.ParquetFile(path)
-    names = set(pf.schema_arrow.names)
-    n_rows = pf.metadata.num_rows             # from footer, no scan
+    names, n_rows = partition_schema_and_rows(path)   # metadata, no scan
     have_bytes = decode and "bytes" in names
 
     tmp_base = os.path.join(store.root, f"_tmp_{pid}_{uuid.uuid4().hex[:6]}")
@@ -173,8 +181,8 @@ def _partition_task(
         viol_stream.append(tbl)
 
     if meta_cols:
-        for rb in pf.iter_batches(batch_size=batch_size or 65536,
-                                  columns=meta_cols):
+        for rb in iter_partition_batches(path, batch_size=batch_size or 65536,
+                                         columns=meta_cols):
             t = pa.Table.from_batches([rb])
             _add_viol(sl(t.select([c for c in sl_cols if c in t.column_names])))
             if agg is not None:
@@ -186,7 +194,8 @@ def _partition_task(
         bp = BytesSuitePass(universal_predicates=declared_universals)
         bytes_cols = [c for c in _BYTES_COLS if c in names]
         ext_stream = _ArtifactStream("_extpartials")
-        for rb in pf.iter_batches(batch_size=256, columns=bytes_cols):
+        for rb in iter_partition_batches(path, batch_size=256,
+                                         columns=bytes_cols):
             comb = bp(pa.Table.from_batches([rb]))
             _add_viol(combined_violations(comb))
             ext_stream.append(combined_ext_partials(comb))
@@ -201,6 +210,12 @@ def _partition_task(
                "pass": n_err == 0, "runtime_s": time.time() - t0}
     store.record(pid, metrics)
     return metrics
+
+
+# one Ray task per partition; _run_partition stays directly callable so
+# the per-partition wiring is testable in-process (e.g. with a stub
+# Lance backend that exists only in the driver's module table)
+_partition_task = ray.remote(_run_partition)
 
 
 def validate_partitioned(
@@ -219,18 +234,23 @@ def validate_partitioned(
     CPU slots allow.  ``max_inflight`` optionally caps submitted-but-
     unfinished tasks (for memory-constrained artifact stores); resume
     granularity stays one partition (atomic checkpoint records).
-    """
-    import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(input_glob))
+    ``input_glob`` may be a parquet glob/dir or a Lance table path
+    (``*.lance``): Lance tables list one partition per FRAGMENT via
+    ``sources.io.partition_files`` and each task scans exactly its
+    fragment — the fragment is the resume/lineage unit end-to-end.
+    """
+    from ..sources.io import partition_files, partition_schema_and_rows
+
+    files = partition_files(input_glob)
     if not files:
         raise FileNotFoundError(f"no input files match {input_glob}")
     done = store.completed()
 
-    # constraint lists are filtered against the FIRST file's schema (all
-    # partitions of one table share it) so the partials' positional
+    # constraint lists are filtered against the FIRST partition's schema
+    # (all partitions of one table share it) so the partials' positional
     # ext{j}_n / card{i}_n columns stay consistent across partitions
-    names0 = set(pq.read_schema(files[0]).names)
+    names0, _ = partition_schema_and_rows(files[0])
     key = spec.key_column
     cards = [c for c in spec.cardinalities
              if c.key == key and c.column in names0

@@ -151,6 +151,25 @@ def iter_partition_batches(partition: str, batch_size: int = 65536,
                                columns=list(columns) if columns else None)
 
 
+def partition_schema_and_rows(partition: str) -> tuple[set, int]:
+    """(column-name set, row count) of one partition from METADATA only —
+    no page reads.  Accepts the same two id forms as
+    ``iter_partition_batches``: a parquet file path (footer) or a Lance
+    ``<path>#<fragment_id>`` id (fragment metadata)."""
+    if "#" in partition and partition.rsplit("#", 1)[0].endswith(".lance"):
+        if not HAVE_LANCE:
+            raise ImportError("pylance not available for Lance partition "
+                              f"{partition!r}")
+        import lance
+        path, frag_id = partition.rsplit("#", 1)
+        ds = lance.dataset(path)
+        frag = ds.get_fragment(int(frag_id))
+        return set(ds.schema.names), frag.count_rows()
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(partition)
+    return set(pf.schema_arrow.names), pf.metadata.num_rows
+
+
 def write_violations(ds: "ray.data.Dataset", out_dir: str) -> str:
     """Partitioned parquet violations sink (never one giant file)."""
     ds.write_parquet(out_dir)

@@ -102,3 +102,112 @@ def test_exact_ks_sketch_tier_bounded_and_close(ks_df, monkeypatch):
     got = exact_ks(ds, "v", "side", "a", "b")
     exact = _pandas_ks(ks_df, "v", "side", "a", "b")
     assert abs(got - exact) < 0.05  # sketch tolerance
+
+# ---------------------------------------------------------------------------
+# advice — Lance fragment partition ids wired end-to-end through
+# validate_partitioned (stub Lance backend; same id contract as pylance)
+# ---------------------------------------------------------------------------
+
+def _install_fake_lance(monkeypatch):
+    """Minimal lance module backed by a dir of parquet files: exposes the
+    exact surface sources/io.py consumes (dataset().schema /
+    get_fragments / get_fragment / count_rows / to_batches)."""
+    import glob as _glob
+    import os
+    import sys
+    import types
+
+    import pyarrow.parquet as pq
+
+    class _Frag:
+        def __init__(self, path, fid):
+            self.path, self.fragment_id = path, fid
+
+        def count_rows(self):
+            return pq.ParquetFile(self.path).metadata.num_rows
+
+        def to_batches(self, columns=None, batch_size=65536):
+            yield from pq.ParquetFile(self.path).iter_batches(
+                batch_size=batch_size,
+                columns=list(columns) if columns else None)
+
+    class _DS:
+        def __init__(self, path):
+            self.files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+
+        @property
+        def schema(self):
+            return pq.read_schema(self.files[0])
+
+        def get_fragments(self):
+            return [_Frag(f, i) for i, f in enumerate(self.files)]
+
+        def get_fragment(self, i):
+            return _Frag(self.files[int(i)], int(i))
+
+    mod = types.ModuleType("lance")
+    mod.dataset = _DS
+    monkeypatch.setitem(sys.modules, "lance", mod)
+    import osf_data_validator_tool_ray.sources.io as io
+    monkeypatch.setattr(io, "HAVE_LANCE", True)
+
+
+def test_lance_fragment_partitions_end_to_end(tmp_path, monkeypatch):
+    import os
+    import shutil
+
+    from osf_data_validator_tool_ray.checks.predicates import PREDICATE_COLUMNS
+    from osf_data_validator_tool_ray.pipelines.partitioned import (
+        _run_partition, validate_partitioned)
+    from osf_data_validator_tool_ray.sources.io import (
+        partition_files, partition_schema_and_rows)
+    from osf_data_validator_tool_ray.spec import clips_spec
+    from osf_data_validator_tool_ray.state.checkpoint import CheckpointStore
+    from osf_data_validator_tool_ray.synth import write_clips_dataset
+
+    meta = write_clips_dataset(str(tmp_path / "src"), n_rows=90, seed=11,
+                               defect_rate=0.05, num_shards=3)
+    lance_dir = str(tmp_path / "clips.lance")
+    os.makedirs(lance_dir)
+    for f in sorted(os.listdir(meta["clips_dir"])):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(meta["clips_dir"], f),
+                        os.path.join(lance_dir, f))
+    _install_fake_lance(monkeypatch)
+
+    parts = partition_files(lance_dir)
+    assert len(parts) == 3 and all("#" in p for p in parts)
+    names0, n0 = partition_schema_and_rows(parts[0])
+    assert "clip_id" in names0 and n0 == 30
+
+    spec = clips_spec()
+    key = spec.key_column
+    cards = [c for c in spec.cardinalities
+             if c.key == key and c.column in names0
+             and (c.qualifier is None
+                  or PREDICATE_COLUMNS.get(c.qualifier, {None}) <= names0)]
+    exts = [e for e in spec.existentials
+            if e.key == key
+            and PREDICATE_COLUMNS.get(e.predicate, {None}) <= names0]
+    universals = frozenset(u.predicate for u in spec.universals)
+
+    # run each fragment's task body in-process (the stub lance module
+    # only exists in this driver), then let validate_partitioned resume:
+    # it must SKIP all fragments and run only the merge
+    store = CheckpointStore(str(tmp_path / "store"))
+    for p in parts:
+        m = _run_partition(p, spec, store.root, False, None, key, cards,
+                           exts, universals)
+        assert m["lineage"] == p and m["n_rows"] == 30
+    rep = validate_partitioned(lance_dir, spec, store)
+    assert rep["partitions_total"] == 3
+    assert rep["partitions_skipped"] == 3 and rep["partitions_ran"] == 0
+    assert all("#" in v["lineage"] for v in rep["partitions"].values())
+    assert len(rep["partitions"]) == 3   # one checkpoint record PER fragment
+
+    # parity: same table validated via the plain parquet path
+    store2 = CheckpointStore(str(tmp_path / "store2"))
+    rep2 = validate_partitioned(meta["clips_dir"] + "/*.parquet",
+                                clips_spec(), store2)
+    assert rep["violations"] == rep2["violations"]
+    assert rep["n_rows"] == rep2["n_rows"] == 90
