@@ -333,39 +333,82 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_err)
 
 
-def spectral_fingerprint(pcm: np.ndarray, n_frames: int = 32,
-                         n_bands: int = 16) -> np.ndarray:
-    """Compact acoustic fingerprint: ``n_frames`` codes, each the
-    bit pattern of "band energy above the frame's mean band energy"
-    over ``n_bands`` log-spaced spectral bands (the Chromaprint/Shazam
-    family's energy-landmark idea, public literature; numpy rFFT only).
+def spectral_fingerprint(pcm: np.ndarray, sr: "int | None" = None,
+                         n_bands: int = 16, frame_len: int = 256,
+                         canonical_sr: int = 8000,
+                         max_frames: int = 1024,
+                         f_lo: float = 50.0, f_hi: float = 1800.0,
+                         diff_eps: float = 0.05,
+                         signif_beta: float = 0.01) -> np.ndarray:
+    """Compact acoustic fingerprint: one uint32 code per FIXED-length
+    frame transition, two 16-bit planes over ``n_bands`` log-spaced
+    spectral bands (the Chromaprint family's energy-landmark idea,
+    public literature; numpy rFFT only):
 
-    Properties the dedup path relies on: amplitude scaling multiplies
-    every band energy AND the mean equally, so the bits are invariant;
-    lossy re-encodes (mu-law) and light noise flip only a few bits, so
-    near-dups sit at small Hamming distance; different content lights
-    up different bands (measured: same tone scaled/ulaw-recoded ->
-    0 bits; different tone pair -> ~56 of 512 bits; tone vs noise ->
-    ~200).  Returns (n_frames,) uint16 codes; too-short input returns
-    zeros."""
+    * low 16 bits — "band energy above the frame's mean band energy"
+      (content plane: which bands are lit);
+    * high 16 bits — "band energy rose by more than ``diff_eps``
+      versus the previous frame, AND the band carries at least
+      ``signif_beta`` of the frame's energy" (temporal plane: the
+      envelope; the significance gate keeps near-empty bands' noise
+      out, the deadband keeps stationary content stable under
+      requantization).
+
+    The frame grid is ABSOLUTE-TIME: the clip is first resampled to
+    ``canonical_sr`` (linear interpolation; pass the clip's ``sr``),
+    then cut into consecutive ``frame_len``-sample frames — so frame i
+    covers the same wall-clock window in every clip regardless of its
+    length or original rate.  Analysis is band-limited to
+    [``f_lo``, ``f_hi``] Hz so rate conversions whose intermediate
+    Nyquist sits above ``f_hi`` don't perturb the occupied bands.
+    Invariances the dedup path relies on (measured on synthetic
+    enveloped multi-tone clips): amplitude scaling 0 bits; mu-law
+    re-encode <=4 bits; trailing trim -> exact PREFIX of the longer
+    clip's codes; 8k->4k->8k linear resample <=45 of ~2000 bits;
+    distinct clips >=58 bits at 1 s, >=130 at 2 s.  Leading trims
+    shift the grid and are out of scope (no shift alignment).
+
+    Returns a variable-length ``(n_frames-1,)`` uint32 array, capped
+    at ``max_frames`` codes; clips shorter than two frames return an
+    empty array."""
     pcm = np.asarray(pcm, dtype=np.float32)
-    if len(pcm) < n_frames * 2:
-        return np.zeros(n_frames, dtype=np.uint16)
-    usable = (len(pcm) // n_frames) * n_frames
-    frames = pcm[:usable].reshape(n_frames, -1)
+    if sr is not None and sr != canonical_sr and len(pcm):
+        n_out = int(round(len(pcm) * canonical_sr / sr))
+        if n_out == 0:
+            return np.zeros(0, dtype=np.uint32)
+        x_old = np.arange(len(pcm), dtype=np.float64) / sr
+        x_new = np.arange(n_out, dtype=np.float64) / canonical_sr
+        pcm = np.interp(x_new, x_old, pcm).astype(np.float32)
+    n_frames = min(len(pcm) // frame_len, max_frames + 1)
+    if n_frames < 2:
+        return np.zeros(0, dtype=np.uint32)
+    frames = pcm[:n_frames * frame_len].reshape(n_frames, frame_len)
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     k = spec.shape[1]
-    edges = np.unique(np.geomspace(1, k - 1, n_bands + 1).astype(np.int64))
+    binw = canonical_sr / frame_len
+    lo = max(1, int(round(f_lo / binw)))
+    hi = min(k - 1, int(round(f_hi / binw)))
+    edges = np.unique(np.geomspace(lo, hi, n_bands + 1).astype(np.int64))
     if len(edges) < 3:
-        return np.zeros(n_frames, dtype=np.uint16)
-    energies = np.add.reduceat(spec, edges[:-1], axis=1)
-    bits = energies > energies.mean(axis=1, keepdims=True)
-    weights = (1 << np.arange(bits.shape[1], dtype=np.uint16)) \
-        .astype(np.uint16)
-    return (bits.astype(np.uint16) * weights).sum(axis=1).astype(np.uint16)
+        return np.zeros(0, dtype=np.uint32)
+    e = np.add.reduceat(spec[:, :hi + 1], edges[:-1], axis=1)
+    tot = e.sum(axis=1, keepdims=True) + 1e-30
+    mean_bits = (e > e.mean(axis=1, keepdims=True))[1:]
+    signif = np.maximum(e[1:], e[:-1]) > signif_beta * np.maximum(tot[1:],
+                                                                 tot[:-1])
+    diff_bits = (e[1:] > e[:-1] * (1.0 + diff_eps)) & signif
+    w = 1 << np.arange(e.shape[1], dtype=np.uint32)
+    return ((mean_bits.astype(np.uint32) * w).sum(axis=1)
+            | ((diff_bits.astype(np.uint32) * w).sum(axis=1) << np.uint32(16))
+            ).astype(np.uint32)
 
 
 def fingerprint_hamming(a: np.ndarray, b: np.ndarray) -> int:
-    """Total differing bits between two spectral fingerprints."""
-    x = np.bitwise_xor(a.astype(np.uint16), b.astype(np.uint16))
+    """Differing bits over the COMMON PREFIX of two spectral
+    fingerprints (frame grids are absolute-time, so code i of one clip
+    is comparable to code i of another regardless of clip lengths)."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0
+    x = np.bitwise_xor(a[:n].astype(np.uint32), b[:n].astype(np.uint32))
     return int(np.unpackbits(x.view(np.uint8)).sum())

@@ -668,26 +668,31 @@ def audio_near_dup_pairs(
     bytes_col: str,
     id_col: str,
     max_hamming: int = 16,
-    n_frames: int = 32,
     n_bands_fp: int = 16,
     lsh_bands: int = 8,
+    frames_per_band: int = 2,
+    min_overlap: float = 0.5,
 ) -> "ray.data.Dataset":
     """Acoustic near-duplicate pairs over an encoded-audio payload
     column: decode -> spectral fingerprint (audio.spectral_fingerprint,
-    amplitude/transcode-invariant) -> LSH banding over the fingerprint's
-    frame codes -> exact Hamming verification inside buckets.
+    amplitude/transcode/LENGTH-invariant: fixed absolute-time frame
+    grid at a canonical rate) -> LSH banding over the fingerprint's
+    frame codes -> exact common-prefix Hamming verification inside
+    buckets.
 
     Same wall-clock shape as the text dedup family: ONE decode+sign
     map_batches pass (the decode is the work, like the DECODE checks),
     ONE bucket exchange on (band_id, band_key), one pair-dedup agg.
-    A pair colliding in any of ``lsh_bands`` bands of
-    ``n_frames // lsh_bands`` codes is a candidate; pairs with total
-    fingerprint Hamming distance <= ``max_hamming`` (of
-    n_frames * n_bands_fp bits) are emitted as
-    (id_a, id_b, hamming)."""
+    Band b covers frame codes [b*frames_per_band, (b+1)*frames_per_band)
+    and is emitted only by clips long enough to fill it, so short clips
+    simply participate in fewer bands (no shared padding buckets).  A
+    pair colliding in any band is a candidate; it is emitted as
+    (id_a, id_b, hamming) when the Hamming distance over the common
+    code prefix is <= ``max_hamming`` AND the common prefix covers at
+    least ``min_overlap`` of the LONGER clip's codes (a 1-second
+    snippet does not near-dup a 10-minute clip, but a trailing
+    25%-trimmed or transcoded re-encode does)."""
     from .. import audio as A
-
-    frames_per_band = max(1, n_frames // lsh_bands)
 
     def sign_stage(batch: pa.Table) -> pa.Table:
         all_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -701,8 +706,7 @@ def audio_near_dup_pairs(
                 pcm, _sr = A.decode(buf)
             except Exception:
                 continue
-            fp = A.spectral_fingerprint(pcm, n_frames=n_frames,
-                                        n_bands=n_bands_fp)
+            fp = A.spectral_fingerprint(pcm, sr=_sr, n_bands=n_bands_fp)
             if not fp.any():
                 continue
             ids.append(rid)
@@ -718,14 +722,26 @@ def audio_near_dup_pairs(
                 "fp": pa.array([], type=pa.binary()),
             })
         for b in range(lsh_bands):
-            sl = slice(b * frames_per_band, (b + 1) * frames_per_band)
+            lo, hi = b * frames_per_band, (b + 1) * frames_per_band
+            # only clips whose fingerprint FILLS this band emit it
+            sel = [i for i, fp in enumerate(fps) if len(fp) >= hi]
+            if not sel:
+                continue
             keys = np.array([int.from_bytes(
-                _md5_8(fp[sl].tobytes()), "little") & ((1 << 62) - 1)
-                for fp in fps], dtype=np.int64)
-            bands_ids.append(np.full(len(fps), b, dtype=np.int32))
+                _md5_8(fps[i][lo:hi].tobytes()), "little") & ((1 << 62) - 1)
+                for i in sel], dtype=np.int64)
+            bands_ids.append(np.full(len(sel), b, dtype=np.int32))
             band_keys.append(keys)
-            out_ids.append(ids)
-            out_fps.append([fp.tobytes() for fp in fps])
+            out_ids.append(ids[sel])
+            out_fps.append([fps[i].tobytes() for i in sel])
+        if not bands_ids:
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.from_numpy_dtype(all_ids.dtype)
+                                   if all_ids.dtype != object else pa.string()),
+                "fp": pa.array([], type=pa.binary()),
+            })
         return pa.table({
             "band_id": pa.array(np.concatenate(bands_ids)),
             "band_key": pa.array(np.concatenate(band_keys)),
@@ -741,13 +757,31 @@ def audio_near_dup_pairs(
                                  "id_b": pd.Series(dtype=idt),
                                  "hamming": pd.Series(dtype="int64")})
         ids = group["doc_id"].to_numpy()
-        mats = np.stack([np.frombuffer(b, dtype=np.uint16)
-                         for b in group["fp"]])
+        arrs = [np.frombuffer(b, dtype=np.uint32) for b in group["fp"]]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        width = int(lens.max())
+        mats = np.zeros((n, width), dtype=np.uint32)
+        for i, a in enumerate(arrs):
+            mats[i, :len(a)] = a
         ia, ib, hs = [], [], []
-        for i in range(n):
-            x = np.bitwise_xor(mats[i + 1:], mats[i])
-            ham = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
-            hit = np.flatnonzero(ham <= max_hamming)
+        for i in range(n - 1):
+            rest = slice(i + 1, n)
+            common = np.minimum(lens[rest], lens[i])
+            overlap_ok = common >= min_overlap * np.maximum(lens[rest], lens[i])
+            x = np.bitwise_xor(mats[rest], mats[i])
+            # per-code popcounts -> prefix sums -> Hamming over the
+            # common prefix (code grids are absolute-time comparable)
+            pc_codes = np.unpackbits(
+                x.view(np.uint8).reshape(x.shape[0], -1),
+                axis=1).reshape(x.shape[0], width, 32).sum(axis=2)
+            cum = np.cumsum(pc_codes, axis=1)
+            ham = np.where(common > 0,
+                           np.take_along_axis(
+                               cum, np.maximum(common - 1, 0)[:, None],
+                               axis=1)[:, 0],
+                           0)
+            hit = np.flatnonzero((ham <= max_hamming) & overlap_ok
+                                 & (common > 0))
             for j in hit:
                 a, b = ids[i], ids[i + 1 + j]
                 if b < a:
