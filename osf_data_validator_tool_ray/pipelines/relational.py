@@ -670,34 +670,46 @@ def hash_join(
     Right-side non-key columns that duplicate a left column name are
     DROPPED on every path (the left side wins), so the output schema
     does not depend on which path the size gate picks.  The size gate
-    itself costs one materialization of the right side; for big-big
-    joins that pins a copy the native join then re-shuffles — the
-    deliberate trade (pin + spill) over re-executing the right side's
-    lineage twice.  Caveat: the pandas-kernel paths NaN-promote
-    unmatched left-join columns per batch, as pandas merges do."""
+    is a BOUNDED probe, not a full materialization:
+    ``right.limit(threshold+1)`` — the streaming executor early-stops
+    once the limit is satisfied, so a big-big join pins at most
+    threshold+1 rows, stays lazy on the full right side, and
+    ``use_native=True`` skips the probe entirely (laziness preserved
+    for callers that know their shape).  When the probe comes back
+    UNDER the threshold it necessarily holds the whole right side and
+    is reused as the broadcast copy — no second execution.  Caveat:
+    the pandas-kernel paths NaN-promote unmatched left-join columns
+    per batch, as pandas merges do."""
     import ray as _ray
 
     n = num_partitions or max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    rmat = right.materialize()
-    small_right = fits_driver_merge(rmat, broadcast_threshold)
-    if small_right and how in ("inner", "left") and use_native is not True:
+    if use_native is True:
+        lcols_n = set(left.schema().names)
+        r_keep_n = [c for c in right.schema().names
+                    if c == key or c not in lcols_n]
+        return left.join(right.select_columns(r_keep_n), join_type=how,
+                         num_partitions=n, on=(key,))
+    probe = right.limit(broadcast_threshold + 1).materialize()
+    small_right = fits_driver_merge(probe, broadcast_threshold)
+    if small_right:
+        right = probe       # the probe IS the whole right side
+    if small_right and how in ("inner", "left"):
         lcols_b = set(left.schema().names)
-        r_keep_b = [c for c in rmat.schema().names
+        r_keep_b = [c for c in right.schema().names
                     if c == key or c not in lcols_b]
-        return broadcast_join(left, rmat.select_columns(r_keep_b), key,
+        return broadcast_join(left, right.select_columns(r_keep_b), key,
                               how=how)
     if use_native is None:
         use_native = hasattr(ray.data.Dataset, "join") and not small_right
     if use_native:
         lcols_n = set(left.schema().names)
-        r_keep_n = [c for c in rmat.schema().names
+        r_keep_n = [c for c in right.schema().names
                     if c == key or c not in lcols_n]
-        return left.join(rmat.select_columns(r_keep_n), join_type=how,
+        return left.join(right.select_columns(r_keep_n), join_type=how,
                          num_partitions=n, on=(key,))
 
     lschema = left.schema()
-    rschema = rmat.schema()
-    right = rmat
+    rschema = right.schema()
     lcols = list(lschema.names)
     # right-side columns carried through the join: keep the key (merge
     # needs it on both sides), drop non-key columns duplicated on the left

@@ -211,3 +211,55 @@ def test_lance_fragment_partitions_end_to_end(tmp_path, monkeypatch):
                                 clips_spec(), store2)
     assert rep["violations"] == rep2["violations"]
     assert rep["n_rows"] == rep2["n_rows"] == 90
+
+# ---------------------------------------------------------------------------
+# advice — hash_join must not materialize a big right side for the gate
+# ---------------------------------------------------------------------------
+
+def test_hash_join_big_right_probe_is_bounded(monkeypatch):
+    """The size gate probes right.limit(threshold+1); a big right side
+    must reach the shuffle path having materialized at most that many
+    rows, and use_native=True must skip the probe entirely."""
+    from osf_data_validator_tool_ray.pipelines import relational as rel
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.arange(2000) % 50, "lv": np.arange(2000)}))
+    right_df = pd.DataFrame({"k": np.arange(5000) % 50,
+                             "rv": np.arange(5000)})
+    right = ray.data.from_pandas(right_df).repartition(4)
+
+    seen = {}
+    real_fits = rel.fits_driver_merge
+
+    def spy(ds, threshold=rel.DRIVER_MERGE_THRESHOLD):
+        seen["probe_rows"] = ds.count()
+        return real_fits(ds, threshold)
+
+    monkeypatch.setattr(rel, "fits_driver_merge", spy)
+    out = rel.hash_join(left, right, "k", broadcast_threshold=100).to_pandas()
+    # probe stopped at threshold+1 rows, not the right side's 5000
+    assert seen["probe_rows"] == 101
+    oracle = left.to_pandas().merge(right_df, on="k")
+    assert len(out) == len(oracle)
+    assert int(out["rv"].sum()) == int(oracle["rv"].sum())
+
+    # use_native=True: no probe at all (fits_driver_merge never called)
+    seen.clear()
+    out2 = rel.hash_join(left, right, "k", broadcast_threshold=100,
+                         use_native=True).to_pandas()
+    assert "probe_rows" not in seen
+    assert len(out2) == len(oracle)
+
+
+def test_hash_join_small_right_reuses_probe():
+    """A right side under the threshold broadcasts (probe == whole
+    side) and results stay correct."""
+    from osf_data_validator_tool_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 5], "rv": ["b", "c", "e"]}))
+    out = hash_join(left, right, "k").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert out["rv"].tolist() == ["b", "c"]
