@@ -151,29 +151,17 @@ def minhash_near_dup_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype=idt),
                                  "id_b": pd.Series(dtype=idt),
                                  "est_jaccard": pd.Series(dtype="float64")})
-        if n * (n - 1) // 2 > max_bucket_pairs:
-            # no silent caps: truncation of a pathological bucket
-            # (mass-duplicate docs) is logged with the dropped count
-            import logging
-            kept = int((2 * max_bucket_pairs) ** 0.5) + 1
-            logging.getLogger("osf_data_validator_tool_ray.dedup").warning(
-                "minhash_near_dup_pairs: bucket of %d docs truncated to %d "
-                "(%d candidate pairs dropped)", n, kept,
-                n * (n - 1) // 2 - kept * (kept - 1) // 2)
-            group = group.iloc[:kept]
-            n = len(group)
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in group["sig"]])
         ids = group["doc_id"].to_numpy()
-        ia, ib, js = [], [], []
-        for i in range(n):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(eq >= threshold)
-            for j in hit:
-                a, b = ids[i], ids[i + 1 + j]
-                if b < a:
-                    a, b = b, a
-                ia.append(a); ib.append(b); js.append(float(eq[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": js})
+        # oversized buckets re-band instead of truncating (duplicate
+        # chains + extended-band recursion; see _pairs_rebanded)
+        ia, ib, js = _bucket_pair_arrays(
+            ids, sigs,
+            lambda sa, sb: (sa == sb).mean(axis=-1),
+            lambda s: s >= threshold, max_bucket_pairs,
+            "minhash_near_dup_pairs")
+        return pd.DataFrame({"id_a": ia, "id_b": ib,
+                             "est_jaccard": js.astype(np.float64)})
 
     from ..pipelines.relational import fits_driver_merge
     mat = banded.materialize()
@@ -195,6 +183,103 @@ def minhash_near_dup_pairs(
         return ray.data.from_pandas(pairs)
     return _bucket_pairs_adaptive(mat, ["band_id", "band_key"],
                                   bucket_pairs, "est_jaccard", "max")
+
+
+def _pairs_rebanded(ids: np.ndarray, sigs: np.ndarray, pair_score, emit,
+                    max_bucket_pairs: int, op_name: str,
+                    _depth: int = 0) -> None:
+    """Pair generation for one LSH bucket with RE-BANDING instead of
+    truncation (round-3 verdict item #4).
+
+    Small buckets emit the complete pair set.  A bucket whose pair
+    count exceeds ``max_bucket_pairs`` is split instead of truncated:
+
+    1. identical-signature groups (mass duplicates — the pathological
+       case) emit a sorted CHAIN of n-1 pairs each: every member stays
+       connected to its cluster (near_dup_clusters recovers the full
+       clique) at linear, not quadratic, pair volume;
+    2. the distinct-signature representatives form a reduced bucket
+       that recurses; if still oversized, the band is EXTENDED with a
+       doubling prefix of signature rows (the standard LSH precision
+       knob — more rows per band) and each sub-bucket recurses, so the
+       highest-similarity pairs survive and only low-agreement
+       cross-sub-bucket candidates are pruned.
+
+    The emitted set is connectivity-preserving rather than the
+    quadratic complete set; the re-band event is logged once per
+    bucket."""
+    import logging
+
+    n = len(ids)
+    if n < 2:
+        return
+    if n * (n - 1) // 2 <= max_bucket_pairs:
+        iu0, iu1 = np.triu_indices(n, 1)
+        emit(ids[iu0], ids[iu1], pair_score(sigs[iu0], sigs[iu1]))
+        return
+    if _depth == 0:
+        logging.getLogger("osf_data_validator_tool_ray.dedup").warning(
+            "%s: bucket of %d docs re-banded (emitting a "
+            "connectivity-preserving pair set: duplicate chains + "
+            "extended-band sub-buckets, not the %d-pair complete set)",
+            op_name, n, n * (n - 1) // 2)
+    sigs = np.ascontiguousarray(sigs)
+    order = np.lexsort(sigs.T[::-1])
+    ids_s, sig_s = ids[order], sigs[order]
+    change = np.flatnonzero((sig_s[1:] != sig_s[:-1]).any(axis=1)) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [n]]).astype(np.int64)
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            # identical signatures: a sorted chain keeps every member
+            # connected (deterministic across the bands that see this
+            # group, so cross-band dedup collapses the repeats)
+            gids = np.sort(ids_s[s:e])
+            emit(gids[:-1], gids[1:], pair_score(sig_s[s:e - 1],
+                                                 sig_s[s + 1:e]))
+    reps = starts
+    if len(reps) < n:
+        _pairs_rebanded(ids_s[reps], sig_s[reps], pair_score, emit,
+                        max_bucket_pairs, op_name, _depth + 1)
+        return
+    # all signatures distinct: extend the band with a doubling prefix
+    # of signature rows and recurse per sub-bucket (terminates: at the
+    # full width every sub-bucket is a singleton)
+    d = sigs.shape[1]
+    cols = min(d, 1 << (_depth + 1))
+    sub = sig_s[:, :cols]
+    bnd = np.flatnonzero((sub[1:] != sub[:-1]).any(axis=1)) + 1
+    s2 = np.concatenate([[0], bnd]).astype(np.int64)
+    e2 = np.concatenate([bnd, [n]]).astype(np.int64)
+    if len(s2) == 1 and cols == d:
+        return      # unreachable (distinct sigs split at full width)
+    for s, e in zip(s2, e2):
+        if e - s >= 2:
+            _pairs_rebanded(ids_s[s:e], sig_s[s:e], pair_score, emit,
+                            max_bucket_pairs, op_name, _depth + 1)
+
+
+def _bucket_pair_arrays(ids: np.ndarray, sigs: np.ndarray, pair_score, keep,
+                        max_bucket_pairs: int, op_name: str):
+    """(id_a, id_b, score) arrays for one bucket via ``_pairs_rebanded``
+    with the keep-filter and id ordering applied."""
+    out_a, out_b, out_s = [], [], []
+
+    def emit(a: np.ndarray, b: np.ndarray, sc: np.ndarray) -> None:
+        m = keep(sc)
+        if m.any():
+            a, b, sc = a[m], b[m], sc[m]
+            swap = b < a
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_s.append(sc)
+
+    _pairs_rebanded(ids, sigs, pair_score, emit, max_bucket_pairs, op_name)
+    if not out_a:
+        return (np.array([], dtype=ids.dtype), np.array([], dtype=ids.dtype),
+                np.array([], dtype=np.float64))
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_s))
 
 
 # transient-memory budget for the vectorized same-size bucket pairing:
@@ -271,18 +356,15 @@ def _vector_bucket_pairs(
             ids_g = ids[idx]
             emit(ids_g[:, iu0].ravel(), ids_g[:, iu1].ravel(), sc.ravel())
 
-    # pathological buckets: truncate loudly, handle individually
+    # pathological buckets: re-band instead of truncating (duplicate
+    # chains + extended-band recursion; see _pairs_rebanded)
     for gi in np.flatnonzero(big):
-        s, n = int(starts[gi]), int(sizes[gi])
-        kept = int((2 * max_bucket_pairs) ** 0.5) + 1
-        logging.getLogger("osf_data_validator_tool_ray.dedup").warning(
-            "%s: bucket of %d docs truncated to %d "
-            "(%d candidate pairs dropped)", op_name, n, kept,
-            n * (n - 1) // 2 - kept * (kept - 1) // 2)
-        e = s + kept
-        iu0, iu1 = np.triu_indices(kept, 1)
-        sc = pair_score(sig[s:e][iu0], sig[s:e][iu1])
-        emit(ids[s:e][iu0], ids[s:e][iu1], sc)
+        s, e = int(starts[gi]), int(ends[gi])
+        sig_b = sig[s:e]
+        if sig_b.ndim == 1:
+            sig_b = sig_b.reshape(-1, 1)
+        _pairs_rebanded(ids[s:e], sig_b, pair_score, emit,
+                        max_bucket_pairs, op_name)
 
     if not ia_all:
         return (np.array([], dtype=ids.dtype), np.array([], dtype=ids.dtype),

@@ -263,3 +263,126 @@ def test_hash_join_small_right_reuses_probe():
     out = hash_join(left, right, "k").to_pandas().sort_values("k")
     assert out["k"].tolist() == [2, 3]
     assert out["rv"].tolist() == ["b", "c"]
+
+# ---------------------------------------------------------------------------
+# verdict #4 — oversized LSH buckets re-band instead of truncating
+# ---------------------------------------------------------------------------
+
+def test_minhash_mass_duplicate_corpus_recovers_full_cluster(caplog):
+    """A planted 10k-identical-doc corpus (the pathological LSH bucket)
+    must keep EVERY member connected through near_dup_clusters — the
+    old per-bucket truncation dropped pairs and split the cluster."""
+    import logging
+
+    from osf_data_validator_tool_ray.checks.dedup import (
+        minhash_near_dup_pairs, near_dup_clusters)
+
+    n = 10_000
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [base * 2] * n + ["a completely different standalone text payload"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n + 1, dtype=np.int64), "text": texts}))
+    with caplog.at_level(
+            logging.WARNING, logger="osf_data_validator_tool_ray.dedup"):
+        pairs = minhash_near_dup_pairs(
+            ds, "text", "doc_id", threshold=0.5, max_bucket_pairs=10_000)
+        clusters = near_dup_clusters(pairs).to_pandas()
+    assert "truncated" not in caplog.text          # no dropped-pair warning
+    assert "re-banded" in caplog.text              # the loud re-band event
+    members = set(clusters.loc[clusters["cluster_id"] == 0, "doc_id"])
+    assert members == set(range(n))                # all 10k members kept
+    assert n not in set(clusters["doc_id"])        # outlier not clustered
+
+
+def test_pairs_rebanded_identical_groups_connectivity():
+    """Unit: a bucket of several identical-signature groups over the pair
+    cap emits a connectivity-preserving set — union-find over the output
+    reconstructs exactly the planted groups, at linear pair volume."""
+    from osf_data_validator_tool_ray.checks.dedup import _bucket_pair_arrays
+
+    rng = np.random.default_rng(7)
+    d, groups, per = 8, 5, 60
+    sigs = np.repeat(rng.integers(0, 2**63, (groups, d), dtype=np.uint64),
+                     per, axis=0)
+    ids = rng.permutation(groups * per).astype(np.int64)
+    ia, ib, sc = _bucket_pair_arrays(
+        ids, sigs, lambda a, b: (a == b).mean(axis=-1),
+        lambda s: s >= 0.5, max_bucket_pairs=100, op_name="unit")
+    # linear volume: per-group chains, not the 44,850-pair complete set
+    assert len(ia) == groups * (per - 1)
+    assert (sc == 1.0).all()
+    planted = {}
+    for idx in range(groups * per):
+        planted.setdefault(idx // per, set()).add(int(ids[idx]))
+    found = {frozenset(v)
+             for v in _union_find_components(zip(ia, ib), ids).values()}
+    assert found == {frozenset(v) for v in planted.values()}
+
+
+def _union_find_components(pairs, members):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in members:
+        comps.setdefault(find(int(x)), set()).add(int(x))
+    return comps
+
+
+def test_pairs_rebanded_distinct_sigs_extends_band():
+    """Unit: an oversized bucket of fully DISTINCT signatures recurses by
+    extending the band (doubling signature-row prefix); pairs agreeing on
+    the extended prefix — the highest-similarity candidates — survive."""
+    from osf_data_validator_tool_ray.checks.dedup import _bucket_pair_arrays
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 120
+    sigs = rng.integers(0, 2**63, (n, d), dtype=np.uint64)
+    # plant 10 high-agreement pairs: rows 2i/2i+1 share the first 6 rows
+    for i in range(10):
+        sigs[2 * i + 1, :6] = sigs[2 * i, :6]
+    ids = np.arange(n, dtype=np.int64)
+    ia, ib, sc = _bucket_pair_arrays(
+        ids, sigs, lambda a, b: (a == b).mean(axis=-1),
+        lambda s: s >= 0.5, max_bucket_pairs=500, op_name="unit")
+    got = {(int(a), int(b)) for a, b in zip(ia, ib)}
+    for i in range(10):
+        assert (2 * i, 2 * i + 1) in got
+    # and nothing below the keep threshold leaked through
+    assert (sc >= 0.5).all()
+
+
+def test_simhash_mass_duplicate_bucket_rebands():
+    """SimHash's driver fast path hits the same re-band code with 1-wide
+    signatures: a 500-identical-hash bucket over the cap keeps every
+    member connected."""
+    from osf_data_validator_tool_ray.checks.dedup import (
+        _vector_bucket_pairs)
+
+    n = 500
+    df = pd.DataFrame({
+        "band_id": np.zeros(n, dtype=np.int32),
+        "band_val": np.zeros(n, dtype=np.uint32),
+        "doc_id": np.arange(n, dtype=np.int64),
+    })
+    sig_mat = np.full((n, 1), 12345, dtype=np.uint64)
+    from osf_data_validator_tool_ray.functions import text as T
+    ia, ib, sc = _vector_bucket_pairs(
+        df, ["band_id", "band_val"], "doc_id", sig_mat,
+        lambda sa, sb: T.hamming64(sa.ravel(), sb.ravel())
+        .astype(np.float64).reshape(sa.shape[:-1]),
+        lambda s: s <= 3, 1_000, "unit-simhash")
+    comps = _union_find_components(zip(ia, ib), range(n))
+    # chain pairs: every doc connected into one component
+    assert len(ia) == n - 1
+    assert len(comps) == 1
+    assert len(next(iter(comps.values()))) == n
