@@ -26,6 +26,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min, Sum
@@ -417,6 +418,9 @@ def near_dup_clusters(
     id_b: str = "id_b",
     max_rounds: int = 10,
     driver_threshold: int = 5_000_000,
+    hot_degree_threshold: int = 65_536,
+    max_hot_keys: int = 65_536,
+    _stats: Optional[dict] = None,
 ) -> "ray.data.Dataset":
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc id of the component (keep-first dedup keeps
@@ -427,7 +431,24 @@ def near_dup_clusters(
     propagation: explode pairs to (node, neighbor_min) rows, groupby-min
     per node, join labels back through the pair list, iterate until no
     label changes (converges in O(diameter) rounds; ray_guide.md dedup
-    pattern)."""
+    pattern).
+
+    Skew posture (round-3 verdict item #5): a celebrity node's label
+    pushes (degree >= ``hot_degree_threshold``) never enter the lookup
+    exchange — its label is pulled to the driver each round (one row per
+    hot key, <= ``max_hot_keys`` total) and pushed to its neighbors with
+    a block-local ``map_batches`` over the statically-split hot edge
+    partition.  The celebrity's RECEIVE side is already bounded: Ray's
+    ``groupby(node).aggregate(Min)`` partial-aggregates map-side, so a
+    hot node gets one combined row per block, not one per edge.  The
+    cold-side label lookup is a ``sort(key)`` exchange consumed
+    block-at-a-time with ONE Arrow hash join per block (keys touching a
+    block's min/max spill to a small second pass), replacing the
+    per-group pandas ``map_groups`` whose fixed cost (~0.3 ms/group)
+    dominated at one group per graph node.
+
+    ``_stats`` (tests): filled with per-run driver-observable counters
+    (n_hot, hot_edge_rows, spill_rows, rounds)."""
     import pandas as pd
 
     mat = pairs.materialize()
@@ -486,11 +507,16 @@ def near_dup_clusters(
                          "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
 
     edges = mat.map_batches(explode, batch_format="pyarrow", batch_size=None).materialize()
+    # labels are re-derived from a union+groupby every round, whose output
+    # block count otherwise grows by O(blocks) per round (quadratic task
+    # overhead over the propagation rounds) — pin it to the edge block
+    # count, the data-proportional figure
+    n_lbl_blocks = max(1, edges.num_blocks())
     labels = edges.groupby("node").aggregate(_Min("nbr", alias_name="label")) \
         .map_batches(lambda t: pa.table({
             "node": t.column("node"),
             "label": pa.compute.min_element_wise(t.column("node"), t.column("label"))}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(n_lbl_blocks).materialize()
 
     def tag_edges(t: pa.Table) -> pa.Table:
         return pa.table({"key": t.column("nbr"), "node": t.column("node"),
@@ -504,12 +530,54 @@ def near_dup_clusters(
     def prop(g: pd.DataFrame) -> pd.DataFrame:
         # one label row per key (its current label) + the edges whose
         # neighbor is this key: push the label to each edge's node, and
-        # keep the key's own label
+        # keep the key's own label  (spill-overflow fallback path only)
         lbls = g["label"].dropna()
         lbl = lbls.min() if len(lbls) else g["key"].iloc[0]
         nodes = g.loc[g["node"].notna(), "node"].tolist()
         nodes.append(g["key"].iloc[0])
         return pd.DataFrame({"node": nodes, "label": [lbl] * len(nodes)})
+
+    def block_join(t: pa.Table) -> pa.Table:
+        """One sorted block of the tagged union: Arrow hash-join label
+        push for every key fully contained in the block (a key strictly
+        between the block's min and max key cannot appear in any other
+        block of a globally sorted dataset); rows of the two boundary
+        keys spill to the small second pass.  Pure-Arrow so int64 ids
+        never round-trip through float64-with-NaN pandas columns."""
+        empty = pa.table({"flag": pa.array([], type=pa.string()),
+                          "key": pa.array([], type=id_type),
+                          "node": pa.array([], type=id_type),
+                          "label": pa.array([], type=id_type)})
+        if t.num_rows == 0:
+            return empty
+        keys = t.column("key")
+        kmin, kmax = pc.min(keys), pc.max(keys)
+        bmask = pc.or_(pc.equal(keys, kmin), pc.equal(keys, kmax))
+        core = t.filter(pc.invert(bmask))
+        spill = t.filter(bmask)
+        lb = core.filter(pc.is_valid(core.column("label"))) \
+                 .select(["key", "label"]).combine_chunks()
+        ed = core.filter(pc.is_valid(core.column("node"))) \
+                 .select(["key", "node"]).combine_chunks()
+        push = ed.join(lb, keys="key", join_type="inner")
+        done_node = pa.concat_arrays([
+            push.column("node").combine_chunks(),
+            lb.column("key").combine_chunks()])
+        done_label = pa.concat_arrays([
+            push.column("label").combine_chunks(),
+            lb.column("label").combine_chunks()])
+        n_done = len(done_node)
+        return pa.table({
+            "flag": pa.array(["d"] * n_done + ["s"] * spill.num_rows,
+                             type=pa.string()),
+            "key": pa.concat_arrays([
+                pa.nulls(n_done, type=id_type),
+                spill.column("key").combine_chunks()]),
+            "node": pa.concat_arrays([
+                done_node, spill.column("node").combine_chunks()]),
+            "label": pa.concat_arrays([
+                done_label, spill.column("label").combine_chunks()]),
+        })
 
     def _checksum(lbl_ds: "ray.data.Dataset") -> int:
         """Order-independent fingerprint of the (node, label) map: XOR of
@@ -532,21 +600,110 @@ def near_dup_clusters(
 
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow",
                                      batch_size=None).materialize()
+
+    # hot-key split: exchange keys (= neighbor endpoints) whose degree
+    # crosses the threshold leave the exchange for a broadcast push.
+    # The degree groupby partial-aggregates map-side, so the hot node's
+    # own count rows are one-per-block, never one-per-edge.
+    from ray.data.aggregate import Count as _Count
+    deg = edges.groupby("nbr").aggregate(
+        _Count(alias_name="deg")).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("deg"),
+                                            hot_degree_threshold)),
+        batch_format="pyarrow", batch_size=None)
+    hot_rows = deg.sort("deg", descending=True).limit(max_hot_keys) \
+        .select_columns(["nbr"]).take_all()
+    hot_keys = pa.array([r["nbr"] for r in hot_rows], type=id_type)
+    n_hot = len(hot_keys)
+
+    hot_edges = None
+    cold_edges = tagged_edges
+    hot_edge_rows = 0
+    if n_hot:
+        hot_ref = ray.put(hot_keys)
+
+        def _split(want_hot: bool):
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.is_in(t.column("key"), value_set=ray.get(hot_ref))
+                return t.filter(m if want_hot else pc.invert(m))
+            return f
+
+        hot_edges = tagged_edges.map_batches(
+            _split(True), batch_format="pyarrow",
+            batch_size=None).materialize()
+        cold_edges = tagged_edges.map_batches(
+            _split(False), batch_format="pyarrow",
+            batch_size=None).materialize()
+        hot_edge_rows = hot_edges.count()
+
     prev_sum = _checksum(labels)
+    rounds = 0
+    spill_rows_total = 0
     for _ in range(max_rounds):
-        tagged = tagged_edges.union(labels.map_batches(
+        rounds += 1
+        cand_parts = []
+        if n_hot:
+            # pull the <=max_hot_keys hot labels to the driver (one
+            # bounded filter scan over the label table) and push them
+            # to the statically-split hot edge partition block-locally
+            # — the celebrity key never enters the sort exchange.
+            hot_lbl = labels.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("node"),
+                                            value_set=ray.get(hot_ref))),
+                batch_format="pyarrow", batch_size=None).to_pandas()
+            hot_lbl_ref = ray.put(
+                (pa.array(hot_lbl["node"], type=id_type),
+                 pa.array(hot_lbl["label"], type=id_type)))
+
+            def hot_push(t: pa.Table) -> pa.Table:
+                hk, hl = ray.get(hot_lbl_ref)
+                idx = pc.index_in(t.column("key"), value_set=hk)
+                return pa.table({"node": t.column("node"),
+                                 "label": pc.take(hl, idx)})
+
+            cand_parts.append(hot_edges.map_batches(
+                hot_push, batch_format="pyarrow", batch_size=None))
+
+        tagged = cold_edges.union(labels.map_batches(
             tag_labels, batch_format="pyarrow", batch_size=None))
-        cand = tagged.groupby("key").map_groups(prop, batch_format="pandas")
+        joined = tagged.sort("key").map_batches(
+            block_join, batch_format="pyarrow",
+            batch_size=None).materialize()
+        done = joined.map_batches(
+            lambda t: t.filter(pc.equal(t.column("flag"), "d"))
+                       .select(["node", "label"]),
+            batch_format="pyarrow", batch_size=None)
+        spill = joined.map_batches(
+            lambda t: t.filter(pc.equal(t.column("flag"), "s"))
+                       .select(["key", "node", "label"]),
+            batch_format="pyarrow", batch_size=None)
+        n_spill = spill.count()
+        spill_rows_total += n_spill
+        cand = done
+        if n_spill:
+            cand = cand.union(
+                spill.groupby("key").map_groups(
+                    prop, batch_format="pandas").map_batches(
+                    lambda t: pa.table({
+                        "node": t.column("node").cast(id_type),
+                        "label": t.column("label").cast(id_type)}),
+                    batch_format="pyarrow", batch_size=None))
+        for p in cand_parts:
+            cand = cand.union(p)
         new_labels = cand.groupby("node").aggregate(
             _Min("label", alias_name="label")).map_batches(
             lambda t: pa.table({"node": t.column("node").cast(id_type),
                                 "label": t.column("label").cast(id_type)}),
-            batch_format="pyarrow", batch_size=None).materialize()
+            batch_format="pyarrow", batch_size=None) \
+            .repartition(n_lbl_blocks).materialize()
         labels = new_labels
         new_sum = _checksum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if _stats is not None:
+        _stats.update({"n_hot": n_hot, "hot_edge_rows": hot_edge_rows,
+                       "spill_rows": spill_rows_total, "rounds": rounds})
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow")
 

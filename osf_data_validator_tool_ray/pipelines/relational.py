@@ -26,6 +26,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -568,15 +569,31 @@ def interval_join(
     end_col: str,
     right_cols: list[str],
     how: str = "inner",
+    presplit_chunk_s: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Interval (range) containment join: each left row matches the
     right row of the same key whose [start, end] contains ts.
 
     Partitioning assumption (documented per SURVEY §2.2 custom
     operators): intervals of one key are NON-OVERLAPPING (sessions,
-    validity ranges) and one key's rows fit in a worker heap.  One
-    tagged-union hash exchange on ``key``; per-key sorted-starts
-    searchsorted, no per-row Python loop."""
+    validity ranges).  One tagged-union hash exchange on ``key``;
+    per-key sorted-starts searchsorted, no per-row Python loop.
+
+    ``presplit_chunk_s`` is the hot-key path (round-3 verdict item #6):
+    time is chunked so a group never exceeds one (key, chunk)'s rows;
+    each chunk joins against its own intervals plus ONE carry-in (the
+    latest-starting interval of an earlier chunk — the only earlier
+    interval that can span in, since per-key intervals are
+    non-overlapping).  Identical output to the plain path
+    (parity-tested); without it one key's rows must fit a worker heap."""
+    if presplit_chunk_s is not None:
+        from .streaming import _presplit_chunked_join
+        rcols = list(dict.fromkeys(
+            [key, start_col, end_col] + [c for c in right_cols if c != key]))
+        return _presplit_chunked_join(
+            left, right, key, ts_col, start_col, rcols, presplit_chunk_s,
+            lambda l2, r2: interval_join(l2, r2, "__kc", ts_col, start_col,
+                                         end_col, right_cols, how=how))
     lcols = list(left.schema().names)
     out_rcols = [c for c in right_cols if c not in lcols]
 
@@ -610,12 +627,22 @@ def interval_join(
 
     out_cols = lcols + out_rcols
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        gl = g[g["_side"] == "l"][lcols]
+    def per_key(g: pa.Table) -> pd.DataFrame:
+        # Side-split in ARROW before any pandas conversion: the padded
+        # union has nulls in every left column on right-side rows, and a
+        # whole-group to_pandas would NaN-promote them (int64 keys >
+        # 2^53 would silently lose precision — seen as float64 `k` in
+        # the presplit parity test, where the join key is the composite
+        # __kc and the real key is an ordinary left column).
+        lmask = pc.equal(g.column("_side"), "l")
+        gl = g.filter(lmask).select(lcols).to_pandas()
         if gl.empty:
-            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
-                                 for c in out_cols})
-        gr = g[g["_side"] == "r"][[start_col, end_col] + out_rcols] \
+            out = gl
+            for c in out_rcols:
+                out[c] = pd.Series(dtype=object)
+            return out.reindex(columns=out_cols)
+        gr = g.filter(pc.invert(lmask)) \
+            .select([start_col, end_col] + out_rcols).to_pandas() \
             .sort_values(start_col, kind="stable")
         ts = gl[ts_col].to_numpy()
         if gr.empty:
@@ -641,7 +668,8 @@ def interval_join(
     rp = right.select_columns(
         list(dict.fromkeys([key, start_col, end_col] + out_rcols))
     ).map_batches(tag_and_pad("r"), batch_format="pyarrow", batch_size=None)
-    return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")
+    return lp.union(rp).groupby(key).map_groups(per_key,
+                                                batch_format="pyarrow")
 
 
 def hash_join(
@@ -743,12 +771,19 @@ def hash_join(
             return t.select(all_cols)
         return fn
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        gl = g[g["_side"] == "l"][lcols]
-        gr = g[g["_side"] == "r"][r_keep]
+    def per_key(g: pa.Table) -> pd.DataFrame:
+        # Arrow side-split before pandas (see interval_join.per_key):
+        # whole-group to_pandas would NaN-promote every left column on
+        # right-side padded rows, corrupting int64 ids > 2^53.  Only
+        # genuinely unmatched left-join right columns NaN-promote now
+        # (inherent to the pandas merge kernel, documented above).
+        lmask = pc.equal(g.column("_side"), "l")
+        gl = g.filter(lmask).select(lcols).to_pandas()
+        gr = g.filter(pc.invert(lmask)).select(r_keep).to_pandas()
         return gl.merge(gr, on=key, how=how)
 
     lp = left.map_batches(tag_and_pad("l"), batch_format="pyarrow", batch_size=None)
     rp = right.select_columns(r_keep).map_batches(
         tag_and_pad("r"), batch_format="pyarrow", batch_size=None)
-    return lp.union(rp).groupby(key).map_groups(per_key, batch_format="pandas")
+    return lp.union(rp).groupby(key).map_groups(per_key,
+                                                batch_format="pyarrow")

@@ -412,13 +412,38 @@ def _asof_join_presplit(
 ) -> "ray.data.Dataset":
     """Hot-key as-of join: chunk time, join per (key, chunk) with ONE
     carry-in right row per chunk (the latest right row of any earlier
-    chunk).  Reduces every group to one chunk's rows; the cross-chunk
-    state is the per-(key, chunk) argmax summary table (one row each,
-    never raw rows).  Delegates the per-chunk join to the plain path via
-    a composite (key|chunk) group column, so semantics are identical."""
-    chunk_us = np.int64(1_000_000) * chunk_s
+    chunk).  Delegates to the shared chunked-join scaffold with the
+    plain asof path as the per-chunk join."""
     rcols = list(dict.fromkeys([key, right_ts]
                                + [c for c in right_cols if c != key]))
+    return _presplit_chunked_join(
+        left, right, key, left_ts, right_ts, rcols, chunk_s,
+        lambda l2, r2: asof_join(l2, r2, "__kc", left_ts, right_ts,
+                                 right_cols))
+
+
+def _presplit_chunked_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    order_col: str,
+    rcols: list[str],
+    chunk_s: int,
+    join_fn,
+) -> "ray.data.Dataset":
+    """Hot-key scaffold shared by as-of and interval joins: chunk time,
+    join per (key, chunk) with ONE carry-in right row per chunk (the
+    right row with the greatest ``order_col`` from any earlier chunk).
+    Reduces every group to one chunk's rows; the cross-chunk state is
+    the per-(key, chunk) argmax summary table (one row each, never raw
+    rows).  ``join_fn(left2, right2)`` runs the plain-path join on the
+    composite ``__kc`` (key|chunk) column both sides carry, so
+    semantics are identical to the unsplit operator.  Works for
+    interval joins because per-key intervals are non-overlapping: only
+    the latest-starting earlier interval can span into a chunk."""
+    chunk_us = np.int64(1_000_000) * chunk_s
+    right_ts = order_col
 
     def _chunks_of(t: pa.Table, ts_col: str) -> np.ndarray:
         ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
@@ -531,7 +556,7 @@ def _asof_join_presplit(
         batch_size=None).union(
         carries.map_batches(r_with_given_kc, batch_format="pyarrow",
                             batch_size=None))
-    out = asof_join(left2, right2, "__kc", left_ts, right_ts, right_cols)
+    out = join_fn(left2, right2)
     return out.map_batches(lambda t: t.drop_columns(["__kc"]),
                            batch_format="pyarrow", batch_size=None)
 

@@ -380,3 +380,48 @@ def test_asof_presplit_parity():
     assert a.astype(float).round(6).equals(b.astype(float).round(6))
     # the long-gap carry-in resolved
     assert split[split.eid == 999]["val"].iloc[0] == 77.0
+
+
+def test_interval_presplit_parity():
+    """Time-chunked interval join (hot-key path) == plain path,
+    including carry-ins for intervals spanning many empty chunks."""
+    from osf_data_validator_tool_ray.pipelines.relational import interval_join
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    lrows, rrows = [], []
+    for k in (1, 2):
+        # disjoint intervals [i*600, i*600+550]s, each spanning several
+        # 120 s chunks
+        for i in range(6):
+            s = base + i * 600 * 1_000_000
+            rrows.append((k, s, s + 550 * 1_000_000, f"iv{k}_{i}"))
+        for _ in range(150):
+            lrows.append((k, base + int(rng.integers(0, 3600)) * 1_000_000,
+                          len(lrows)))
+    # key 3: event deep inside an interval that started many empty
+    # chunks earlier (pure carry-in match)
+    rrows.append((3, base, base + 3_000 * 1_000_000, "long"))
+    lrows.append((3, base + 2_900 * 1_000_000, 999))
+    ldf = pd.DataFrame(lrows, columns=["k", "ts", "eid"])
+    rdf = pd.DataFrame(rrows, columns=["k", "start", "end", "iv"])
+    ldf["ts"] = pd.to_datetime(ldf["ts"], unit="us")
+    rdf["start"] = pd.to_datetime(rdf["start"], unit="us")
+    rdf["end"] = pd.to_datetime(rdf["end"], unit="us")
+    lds = ray.data.from_pandas(ldf).repartition(3)
+    rds = ray.data.from_pandas(rdf).repartition(2)
+
+    plain = interval_join(lds, rds, "k", "ts", "start", "end",
+                          ["iv"]).to_pandas()
+    split = interval_join(lds, rds, "k", "ts", "start", "end", ["iv"],
+                          presplit_chunk_s=120).to_pandas()
+    cols = ["k", "eid", "iv"]
+    a = plain[cols].sort_values(["k", "eid"]).reset_index(drop=True)
+    b = split[cols].sort_values(["k", "eid"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert split[split.eid == 999]["iv"].iloc[0] == "long"
+    # left-join parity: every event kept exactly once
+    split_l = interval_join(lds, rds, "k", "ts", "start", "end", ["iv"],
+                            how="left", presplit_chunk_s=120).to_pandas()
+    assert len(split_l) == len(ldf)
+    assert split_l[split_l.eid == 999]["iv"].iloc[0] == "long"

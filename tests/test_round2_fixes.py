@@ -228,8 +228,11 @@ def test_quarantine_empty_keys(tmp_path):
 
 
 def test_minhash_bucket_truncation_warns(caplog):
-    """A pathological all-identical bucket triggers the loud-truncation
-    warning (driver merge path runs the bucket fn in-process)."""
+    """A pathological all-identical bucket triggers the loud re-band
+    warning (round-3 verdict #4 replaced truncation with
+    connectivity-preserving re-banding) and still emits pairs that keep
+    the bucket connected (driver merge path runs the bucket fn
+    in-process)."""
     import logging
 
     import ray.data
@@ -243,8 +246,21 @@ def test_minhash_bucket_truncation_warns(caplog):
         pairs = minhash_near_dup_pairs(
             ray.data.from_pandas(docs), "text", "doc_id",
             max_bucket_pairs=10).to_pandas()
-    assert any("truncated" in r.message for r in caplog.records)
-    assert len(pairs) > 0          # surviving pairs still emitted
+    assert any("re-banded" in r.message for r in caplog.records)
+    # connectivity preserved: union-find over the emitted pairs keeps
+    # all 40 identical docs in ONE cluster even though the complete
+    # 780-pair set was not emitted
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(40)}) == 1
 
 
 def test_embedding_bucket_truncation_warns(caplog):
