@@ -675,6 +675,94 @@ def _q_ngram_jaccard_exact(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_minhash_jaccard_verified(sf_dir: str):
+    """Sketch-then-verify near-dup surface (round-3 verdict item #2):
+    MinHash-LSH candidates -> distributed exact 5-gram Jaccard rerank ->
+    threshold 0.6.  The output is the COMPLETE exact-Jaccard >= 0.6 pair
+    set over the sampled half-corpus: the DuckDB oracle rebuilds every
+    pair from scratch (gram sets via substr/generate_series, no
+    knowledge of the candidate generator), so a hash match proves both
+    the exact-verify kernel AND that LSH candidate recall at J >= 0.6 is
+    1.0 on this corpus.  num_perm=128 / bands=32 put P(band miss) ~1e-9
+    at the corpus's lowest planted J (0.83 at sf0.1; background pairs
+    top out at ~0.34, so tau=0.6 sits in a wide gap); seeds are fixed so
+    the output is deterministic.  doc_id % 2 sampling bounds the
+    ORACLE's gram self-join (hot shared 5-grams make it superlinear in
+    corpus size) — the Ray side is the same distributed path as
+    minhash_pairs + ngram_jaccard_pairs and doesn't need the sample."""
+    from osf_data_validator_tool_ray.checks.dedup import (
+        exact_jaccard_for_pairs, minhash_near_dup_pairs)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 2 == 0) & (ln >= 5)))
+
+    sampled = docs.map_batches(sample, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    cand = minhash_near_dup_pairs(sampled, "text", "doc_id", num_perm=128,
+                                  bands=32, threshold=0.5).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    out = exact_jaccard_for_pairs(sampled, cand[["id_a", "id_b"]], "text",
+                                  "doc_id", shingle_k=5)
+    out = out[out["jaccard"] >= 0.6].copy()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
+
+
+def _q_embedding_neardup_verified(sf_dir: str):
+    """Exact-cosine-verified embedding near-dup (round-3 verdict item
+    #3) over the embeddings table augmented with DETERMINISTIC planted
+    twins — the raw corpus has no pair above cosine ~0.6, so the twins
+    provide the positives both engines must find.  Every vec_id % 50 ==
+    0 vector gets a twin (vec_id + 1000000) perturbed per-dimension by
+    an exact dyadic formula ((i*(1+vec_id%7)) % 5 - 2) * 3/128 (i =
+    1-based dim index): pure small-integer steps times a power-of-two-
+    scaled constant, so numpy and the DuckDB oracle build bitwise-
+    identical float64 twins (twin cosine ~0.96).  Multi-table SRP-LSH
+    candidates (n_tables=16, n_planes=6 -> P(miss @0.96) ~3e-7,
+    deterministic seed) are reranked with exact float64 within-bucket
+    cosine and filtered at tau=0.9; the oracle is the all-pairs
+    list_cosine_similarity >= 0.9 over the same augmented table, so a
+    hash match proves candidate recall 1.0 here plus the rerank
+    kernel."""
+    from osf_data_validator_tool_ray.checks.similarity import (
+        embedding_near_dup_pairs)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        sel = ids % 50 == 0
+        i = np.arange(1, m.shape[1] + 1, dtype=np.int64)
+        step = (i[None, :] * (1 + (ids[sel, None] % 7))) % 5 - 2
+        twins = m[sel] + step.astype(np.float64) * 0.0234375
+        return pa.table({
+            "vec_id": pa.array(
+                np.concatenate([ids, ids[sel] + 1_000_000])),
+            "embedding": pa.array(list(np.concatenate([m, twins]))),
+        })
+
+    aug = ds.map_batches(with_twins, batch_format="pyarrow",
+                         batch_size=None)
+    pairs = embedding_near_dup_pairs(aug, "embedding", "vec_id", tau=0.9,
+                                     n_planes=6, n_tables=16,
+                                     rerank_dtype=np.float64).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    pairs["cosine"] = pairs["cosine"].round(6)
+    return pairs[["id_a", "id_b", "cosine"]].reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy sequence packing of documents into 5000-token packs per
     shard (shard = doc_id % 5, tokens = n_chars): the oracle replays the
@@ -1229,6 +1317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles": _q_kll_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_jaccard_exact": _q_ngram_jaccard_exact,
+        "minhash_jaccard_verified": _q_minhash_jaccard_verified,
+        "embedding_neardup_verified": _q_embedding_neardup_verified,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -1481,6 +1571,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "minhash_jaccard_verified": """
+            -- full exact-Jaccard >= 0.6 pair set over the doc_id %% 2
+            -- sample, built with NO knowledge of the MinHash candidate
+            -- generator: a hash match proves LSH recall 1.0 at this tau
+            -- (pairs with no shared gram have J = 0, so the inter join
+            -- covers every pair that could pass the threshold)
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND length(text) >= 5
+            ), g AS (
+                SELECT DISTINCT d.doc_id,
+                       substr(d.text, gs.i::INTEGER, 5) AS gram
+                FROM d, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, length(d.text) - 4)) AS i) gs
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_int
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+                SELECT i.id_a, i.id_b,
+                       i.n_int::DOUBLE
+                       / (sa.n + sb.n - i.n_int) AS j
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b)
+            WHERE j >= 0.6
+        """,
+        "embedding_neardup_verified": """
+            -- rebuild the deterministic planted twins with the same
+            -- exact dyadic perturbation (small-int steps * 3/128 ->
+            -- bitwise-identical float64 on both engines), then the
+            -- all-pairs exact cosine >= 0.9 with no candidate knowledge
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), twins AS (
+                SELECT b.vec_id + 1000000 AS vec_id,
+                       list(b.e[gs.i]
+                            + ((gs.i * (1 + b.vec_id % 7)) % 5 - 2)
+                              * 0.0234375 ORDER BY gs.i) AS e
+                FROM base b, LATERAL (
+                    SELECT UNNEST(generate_series(1, len(b.e))) AS i) gs
+                WHERE b.vec_id % 50 = 0
+                GROUP BY b.vec_id
+            ), allv AS (
+                SELECT * FROM base UNION ALL SELECT * FROM twins
+            )
+            SELECT id_a, id_b, ROUND(s, 6) AS cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.e, b.e) AS s
+                FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            WHERE s >= 0.9
         """,
         "ngram_jaccard_exact": """
             -- distinct 5-char shingle sets per sampled doc, then exact

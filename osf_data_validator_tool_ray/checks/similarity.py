@@ -32,6 +32,11 @@ def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     arr = batch.column(emb_col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not hasattr(arr, "flatten"):
+        # Ray's ArrowTensorArray extension (numpy-ndarray columns):
+        # to_numpy gives the (n, d) view directly
+        return np.asarray(arr.to_numpy(zero_copy_only=False)) \
+            .astype(np.float32, copy=False)
     # zero-copy: fixed-length lists -> (n, d) view over the flat buffer
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     n = len(arr)
@@ -259,10 +264,22 @@ def embedding_near_dup_pairs(
     n_planes: int = 10,
     seed: int = 13,
     max_bucket: int = 4096,
+    n_tables: int = 1,
+    rerank_dtype=np.float32,
 ) -> "ray.data.Dataset":
     """Pairs with cosine >= tau, found within SRP-LSH buckets (high-cosine
     pairs land in the same bucket with prob (1-theta/pi)^n_planes).
-    Exact within-bucket verification via matmul."""
+    Exact within-bucket verification via matmul.
+
+    ``n_tables`` is the recall knob (round-3 verdict item #3): T
+    independent hyperplane sets are hashed in the SAME single pass over
+    the data (the banded table is T× the id column, not T scans), pairs
+    are deduped across tables by the existing cross-bucket pair-dedup
+    aggregate; miss probability for a cosine-tau pair drops from
+    (1-(1-theta/pi)^P) to that raised to the T-th power — with
+    n_planes=6, n_tables=16, a 0.96-cosine pair is missed w.p. ~3e-7,
+    which makes the candidate surface exactly verifiable against an
+    all-pairs SQL oracle on test corpora."""
     planes_cache: dict[int, np.ndarray] = {}   # per-task: dim -> planes
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -272,14 +289,20 @@ def embedding_near_dup_pairs(
             # deterministic per (seed, dim) — every task derives the SAME
             # hyperplanes, computed once per task, not per batch
             planes = np.random.default_rng(seed).standard_normal(
-                (n_planes, m.shape[1])).astype(np.float32)
+                (n_tables * n_planes, m.shape[1])).astype(np.float32)
             planes_cache[m.shape[1]] = planes
-        buckets = srp_bucket_bits(m, planes)
-        return pa.table({
-            "bucket": pa.array(buckets, type=pa.uint32()),
-            id_col: batch.column(id_col),
-            emb_col: batch.column(emb_col),
-        })
+        tables = []
+        for t_idx in range(n_tables):
+            sub = planes[t_idx * n_planes:(t_idx + 1) * n_planes]
+            buckets = srp_bucket_bits(m, sub)
+            tables.append(pa.table({
+                "table": pa.array(
+                    np.full(len(buckets), t_idx, dtype=np.uint16)),
+                "bucket": pa.array(buckets, type=pa.uint32()),
+                id_col: batch.column(id_col),
+                emb_col: batch.column(emb_col),
+            }))
+        return pa.concat_tables(tables)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
@@ -299,7 +322,11 @@ def embedding_near_dup_pairs(
                 n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2)
             group = group.iloc[:max_bucket]
             n = max_bucket
-        m = _normalize(np.stack(group[emb_col].to_numpy()).astype(np.float32))
+        # rerank_dtype=float64 for oracle-verified runs (float32's ~1e-6
+        # accumulated dot error survives a 6-decimal round; float64
+        # matches DuckDB's list_cosine_similarity to the ulp)
+        m = _normalize(np.stack(group[emb_col].to_numpy())
+                       .astype(rerank_dtype))
         ids = group[id_col].to_numpy()
         s = m @ m.T
         iu = np.triu_indices(n, k=1)
@@ -313,5 +340,5 @@ def embedding_near_dup_pairs(
     from ..checks.dedup import _bucket_pairs_adaptive
     assigned = ds.select_columns([emb_col, id_col]).map_batches(
         assign, batch_format="pyarrow")
-    return _bucket_pairs_adaptive(assigned, ["bucket"], bucket_pairs,
-                                  "cosine", "max")
+    return _bucket_pairs_adaptive(assigned, ["table", "bucket"],
+                                  bucket_pairs, "cosine", "max")

@@ -91,6 +91,38 @@ def test_embedding_near_dup_pairs():
     assert (10, 50) in found
 
 
+def test_embedding_near_dup_multi_table_recall():
+    """n_tables multiplies candidate recall: 40 planted ~0.96-cosine
+    twins must ALL be recovered with n_tables=16/n_planes=6 (P(miss)
+    ~3e-7 per pair), while each table alone would miss ~40-65%%.  Also
+    pins the float64 rerank path: emitted cosines equal the exact
+    numpy float64 values to 1e-12."""
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    ids = np.arange(200)
+    twin_src = ids[ids % 5 == 0]
+    noise = rng.standard_normal((len(twin_src), 32)) * 0.04
+    twins = base[twin_src] + noise
+    m = np.concatenate([base, twins])
+    all_ids = np.concatenate([ids, twin_src + 1000])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": all_ids, "embedding": list(m)})).repartition(3)
+    pairs = embedding_near_dup_pairs(
+        ds, "embedding", "vec_id", tau=0.9, n_planes=6, n_tables=16,
+        rerank_dtype=np.float64).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for src in twin_src:
+        assert (src, src + 1000) in found, src
+        row = pairs[(pairs.id_a == src) & (pairs.id_b == src + 1000)]
+        exact = float(mn[src] @ mn[200 + np.where(twin_src == src)[0][0]])
+        assert abs(row["cosine"].iloc[0] - exact) < 1e-12
+    # every emitted pair genuinely >= tau (no false positives from the
+    # bucket stage — rerank is exact)
+    assert (pairs["cosine"] >= 0.9).all()
+
+
 def test_exact_jaccard_for_pairs_distributed_parity():
     """Distributed pair verification == naive local shingle Jaccard."""
     import numpy as np
