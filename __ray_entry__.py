@@ -283,7 +283,12 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
-    """Winnowing fingerprint count per document (no SQL oracle)."""
+    """Winnowing fingerprint count per document.  SQL-oracled (round-4):
+    the polynomial 5-gram hash maxes at 127*sum(257^j) ~ 5.5e11, well
+    inside BIGINT, so DuckDB replays it exactly with ord(substr())*
+    powers + xor(h, h >> 31), the window-4 minima with MIN() OVER a
+    3-FOLLOWING frame restricted to full windows, and the <=window
+    short-doc path as a 1-row global min."""
     from osf_data_validator_tool_ray.functions.text import winnow_fingerprints
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -409,8 +414,15 @@ def _q_topk_per_group(sf_dir: str):
 
 
 def _q_hll_distinct(sf_dir: str):
-    """Approximate distinct counts via HyperLogLog (no oracle — estimate;
-    accuracy asserted in tests/test_sketches.py)."""
+    """Approximate distinct counts via HyperLogLog (no hash oracle —
+    estimate; mergeability/accuracy asserted in tests/test_sketches.py).
+    Self-asserting (round-4): the estimate is checked HERE against
+    DuckDB's exact COUNT(DISTINCT) at 6x the p=14 standard error
+    (1.04/sqrt(2^14) ~ 0.8%), so a broken merge or register path fails
+    the query rather than shipping a silently-wrong estimate."""
+    import math
+
+    import duckdb
     import pandas as pd
     from osf_data_validator_tool_ray.functions.sketches import HyperLogLog
     ds = _read(sf_dir, "lineitem", ["l_partkey"])
@@ -425,7 +437,13 @@ def _q_hll_distinct(sf_dir: str):
                             batch_size=None).iter_batches(batch_format="pyarrow", batch_size=None):
         for s in b.column("sketch").to_pylist():
             merged.merge(HyperLogLog.from_bytes(s))
-    return pd.DataFrame({"approx_distinct_partkey": [int(merged.estimate())]})
+    est = int(merged.estimate())
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) AS d FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')").df()["d"].iloc[0]
+    rel_err = 1.04 / math.sqrt(merged.m)
+    assert abs(est - exact) <= 6 * rel_err * exact + 2, (est, int(exact))
+    return pd.DataFrame({"approx_distinct_partkey": [est]})
 
 
 def _q_heavy_hitters(sf_dir: str):
@@ -558,8 +576,12 @@ def _q_psi_exact(sf_dir: str):
 
 
 def _q_approx_quantiles(sf_dir: str):
-    """Mergeable streaming-histogram quantiles of l_extendedprice
-    (no oracle — approximate)."""
+    """Mergeable streaming-histogram quantiles of l_extendedprice (no
+    hash oracle — approximate).  Self-asserting (round-4, same pattern
+    as kll_quantiles): each estimate's TRUE rank, computed exactly by
+    DuckDB inline, must sit within 0.05 of the target quantile, so a
+    broken merge or interpolation fails the query loudly."""
+    import duckdb
     import pandas as pd
     from osf_data_validator_tool_ray.functions.sketches import StreamHist
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
@@ -576,6 +598,13 @@ def _q_approx_quantiles(sf_dir: str):
             merged.merge(StreamHist.from_bytes(s))
     qs = [0.1, 0.5, 0.9, 0.99]
     vals = merged.quantile(qs)
+    truth = duckdb.sql(
+        "SELECT " + ", ".join(
+            f"SUM(CASE WHEN l_extendedprice <= {v} THEN 1 ELSE 0 END)"
+            f"::DOUBLE / COUNT(*) AS r{i}" for i, v in enumerate(vals))
+        + f" FROM read_parquet('{sf_dir}/lineitem.parquet')").df()
+    for i, q in enumerate(qs):
+        assert abs(truth[f"r{i}"].iloc[0] - q) < 0.05, (q, vals[i])
     return pd.DataFrame({"q": qs, "value": vals})
 
 
@@ -1571,6 +1600,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "fingerprints": """
+            -- winnowing replay: ASCII byte polynomial hash (fits BIGINT
+            -- -- max ~5.5e11), avalanche xor, window-4 rightmost-min via
+            -- a 3-FOLLOWING frame over FULL windows only, unique count;
+            -- docs with <= 4 hashes collapse to their global min (1)
+            WITH d AS (SELECT doc_id, text FROM documents),
+            pos AS (
+                SELECT d.doc_id, gs.i,
+                       ord(substr(d.text, gs.i::INTEGER, 1))
+                       + 257 * ord(substr(d.text, gs.i::INTEGER + 1, 1))
+                       + 66049 * ord(substr(d.text, gs.i::INTEGER + 2, 1))
+                       + 16974593 * ord(substr(d.text, gs.i::INTEGER + 3, 1))
+                       + 4362470401 * ord(substr(d.text, gs.i::INTEGER + 4, 1))
+                       AS h0
+                FROM d, LATERAL (SELECT UNNEST(generate_series(
+                    1, length(d.text) - 4)) AS i) gs
+                WHERE length(d.text) >= 5
+            ), h AS (
+                SELECT doc_id, i, xor(h0, h0 >> 31) AS hv,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS nh
+                FROM pos
+            ), wins AS (
+                SELECT doc_id, i, nh,
+                       MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS wmin
+                FROM h
+            ), fp AS (
+                SELECT doc_id, COUNT(DISTINCT wmin) AS nfp
+                FROM wins WHERE nh > 4 AND i <= nh - 3 GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 1 AS nfp FROM h WHERE nh <= 4 GROUP BY doc_id
+            )
+            SELECT doc.doc_id, COALESCE(fp.nfp, 0)::BIGINT AS n_fingerprints
+            FROM documents doc LEFT JOIN fp ON fp.doc_id = doc.doc_id
         """,
         "minhash_jaccard_verified": """
             -- full exact-Jaccard >= 0.6 pair set over the doc_id %% 2
