@@ -119,8 +119,11 @@ def bench_tpch_checks(sf_dir: str) -> dict:
              "distinct_counts"]
 
     def run_one(name: str) -> int:
+        import ray.data
         res = qs[name](sf_dir)
-        return res.count() if hasattr(res, "count") else len(res)
+        # DataFrames also have .count() (returns a Series) — only
+        # Datasets should take that path
+        return res.count() if isinstance(res, ray.data.Dataset) else len(res)
 
     # the 8 checks are independent pipelines over the same table: drive
     # them a few at a time so their fixed planning/scheduling latencies
@@ -299,6 +302,16 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "clips_per_sec": round(clips_per_sec, 1),
     }
+    # carry the last `bench.py --scaling` measurement in the bench
+    # artifact itself (round-3 verdict item #9) — the full N-vs-4N
+    # harness takes minutes and needs a quiet window, so the plain run
+    # embeds the persisted result instead of re-measuring; `measured_*`
+    # fields say exactly when/under what load it was taken
+    try:
+        with open(os.path.join(REPO, "SCALING.json")) as f:
+            out["scaling"] = json.load(f)
+    except (OSError, ValueError):
+        out["scaling"] = None
     ray.shutdown()
     return out
 
@@ -347,13 +360,27 @@ def run_scaling() -> dict:
     thr_lo = lo["clips_per_sec"]
     thr_hi = hi["clips_per_sec"]
     eff = (thr_hi / thr_lo) / (n_hi / n_lo)
-    return {
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        load1 = None
+    res = {
         "cpus_lo": n_lo, "cpus_hi": n_hi,
         f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
         f"clips_per_sec_{n_lo}": thr_lo, f"clips_per_sec_{n_hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "measured_loadavg": load1,
+        "source": "bench.py --scaling (best-of-reps fresh processes per level)",
     }
+    # persist so the plain bench run embeds it in its JSON artifact
+    try:
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump(res, f, indent=1)
+    except OSError:
+        pass
+    return res
 
 
 if __name__ == "__main__":

@@ -69,20 +69,32 @@ class _PartialAggregator:
         self.exts = existentials
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).to_pandas().astype(object)
-        frame: dict[str, np.ndarray] = {}
+        # Arrow-native combiner (round-3 verdict item #7): key keeps its
+        # Arrow type (no object-dtype pandas copy), count columns group
+        # with Table.group_by; null keys form a group like pandas
+        # dropna=False did.  Arrow bool -> int8 cast happens Arrow-side
+        # (bool->numpy is a slow path).
+        import pyarrow.compute as pc
+        data: dict = {"key": batch.column(self.key)}
+        sum_cols: list[str] = []
         for i, c in enumerate(self.cards):
-            counted = batch.column(c.column).to_pandas().notna().to_numpy(dtype=bool)
+            counted = pc.cast(pc.is_valid(batch.column(c.column)),
+                              pa.int8()).to_numpy(zero_copy_only=False)
             if c.qualifier is not None:
-                counted &= PREDICATES[c.qualifier](batch)
-            frame[f"card{i}_n"] = counted.astype(np.int64)
+                counted = counted & PREDICATES[c.qualifier](batch) \
+                    .astype(np.int8)
+            data[f"card{i}_n"] = pa.array(counted.astype(np.int64))
+            sum_cols.append(f"card{i}_n")
         for j, e in enumerate(self.exts):
-            frame[f"ext{j}_n"] = PREDICATES[e.predicate](batch).astype(np.int64)
-        frame["n_rows"] = np.ones(len(keys), dtype=np.int64)
-        df = pd.DataFrame(frame)
-        df["key"] = keys
-        agg = df.groupby("key", sort=False, dropna=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+            data[f"ext{j}_n"] = pa.array(
+                PREDICATES[e.predicate](batch).astype(np.int64))
+            sum_cols.append(f"ext{j}_n")
+        data["n_rows"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        sum_cols.append("n_rows")
+        g = pa.table(data).group_by(["key"], use_threads=False) \
+            .aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in g.column_names])
 
 
 def grouped_violations(

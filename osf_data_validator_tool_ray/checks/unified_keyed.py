@@ -125,8 +125,9 @@ def unified_keyed_violations(
             lambda t: _pad(t, all_cols), batch_format="pyarrow", batch_size=None))
     else:
         def key_only(t: pa.Table) -> pa.Table:
-            u = pd.unique(t.column(key).to_pandas().dropna())
-            base = pa.table({"key": pa.array(u, type=t.schema.field(key).type),
+            import pyarrow.compute as pc
+            u = pc.unique(pc.drop_null(t.column(key).combine_chunks()))
+            base = pa.table({"key": u,
                              "n_rows": pa.array(np.ones(len(u), dtype=np.int64))})
             return _pad(base, all_cols)
         parts.append(meta_ds.select_columns([key]).map_batches(
@@ -141,8 +142,9 @@ def unified_keyed_violations(
             def ref_partial(t: pa.Table, col=ri.ref_column) -> pa.Table:
                 # key dtype preserved — must match the metadata partials'
                 # key type for the union (ints stay ints)
-                u = pd.unique(t.column(col).to_pandas().dropna())
-                base = pa.table({"key": pa.array(u, type=t.schema.field(col).type),
+                import pyarrow.compute as pc
+                u = pc.unique(pc.drop_null(t.column(col).combine_chunks()))
+                base = pa.table({"key": u,
                                  "is_ref": pa.array(np.ones(len(u), dtype=np.int64))})
                 return _pad(base, all_cols)
 
@@ -151,9 +153,10 @@ def unified_keyed_violations(
 
     if expected_keys is not None:
         def exp_partial(t: pa.Table) -> pa.Table:
-            u = pd.unique(t.column(expected_key_column).to_pandas().dropna())
-            base = pa.table({"key": pa.array(
-                u, type=t.schema.field(expected_key_column).type),
+            import pyarrow.compute as pc
+            u = pc.unique(pc.drop_null(
+                t.column(expected_key_column).combine_chunks()))
+            base = pa.table({"key": u,
                 "is_expected": pa.array(np.ones(len(u), dtype=np.int64))})
             return _pad(base, all_cols)
         parts.append(expected_keys.select_columns([expected_key_column]).map_batches(

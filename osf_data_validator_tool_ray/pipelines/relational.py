@@ -89,11 +89,17 @@ def group_count_having(
     cmp = ops[op]
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys).to_pandas()
+        # Arrow-native combiner (round-3 verdict item #7): no pandas
+        # copy of the batch; null keys group like pandas dropna=False
+        t = batch.select(keys)
         if qualifier is not None:
-            df = df[qualifier(batch)]
-        agg = df.groupby(keys, sort=False, dropna=False).size().rename("_pn").reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+            mask = qualifier(batch)
+            t = t.filter(pa.array(mask) if isinstance(mask, np.ndarray)
+                         else mask)
+        g = t.group_by(keys, use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["_pn" if c == "count_all" else c for c in g.column_names])
 
     from ..checks.cardinality import coalesce_partials
     partials = ds.map_batches(partial, batch_format="pyarrow",
@@ -129,10 +135,13 @@ def existential_missing(
     sum-of-predicate per key, one Sum exchange, filter == 0."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({key: batch.column(key).to_pandas(),
-                           "_sat": predicate(batch).astype(np.int64)})
-        agg = df.groupby(key, sort=False, dropna=False)["_sat"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        # Arrow-native combiner (round-3 verdict item #7)
+        t = pa.table({key: batch.column(key),
+                      "_sat": pa.array(predicate(batch).astype(np.int64))})
+        g = t.group_by([key], use_threads=False) \
+            .aggregate([("_sat", "sum")])
+        return g.rename_columns(
+            ["_sat" if c == "_sat_sum" else c for c in g.column_names])
 
     from ..checks.cardinality import coalesce_partials
     partials = ds.map_batches(partial, batch_format="pyarrow",
@@ -336,13 +345,24 @@ def grouped_agg(
                  for out, (c, fn) in specs.items()}
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([c for c in in_cols if c in batch.column_names]) \
-            .to_pandas()
-        g = df.groupby(keylist, sort=False, dropna=False)
-        agg = g.agg(**{out: (c if fn != "size" else keylist[0], fn)
-                       for out, (c, fn) in part_fns.items()}).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False) \
-            .replace_schema_metadata(None)
+        # Arrow-native combiner (round-3 verdict item #7): group_by on
+        # the zero-copy batch, dedup the (col, fn) agg list, then map
+        # Arrow's "<col>_<fn>" / "count_all" names back to the out cols
+        t = batch.select([c for c in in_cols if c in batch.column_names])
+        arrow_aggs: list = []
+        arrow_name: dict[str, str] = {}
+        for out, (c, fn) in part_fns.items():
+            if fn == "size":
+                src, nm = ([], "count_all"), "count_all"
+            else:
+                src, nm = (c, fn), f"{c}_{fn}"
+            if nm not in arrow_name.values():
+                arrow_aggs.append(src)
+            arrow_name[out] = nm
+        g = t.group_by(keylist, use_threads=False).aggregate(arrow_aggs)
+        return pa.table(
+            {**{k: g.column(k) for k in keylist},
+             **{out: g.column(nm) for out, nm in arrow_name.items()}})
 
     from ..checks.cardinality import coalesce_partials
 
@@ -369,9 +389,9 @@ def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
     (CheckPropertiesDefined.php:40-51)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = pa.array(pd.unique(batch.column(column).to_pandas()),
-                        type=batch.schema.field(column).type)
-        return pa.table({column: vals})
+        # Arrow-native distinct partial (no pandas copy)
+        return pa.table({column: pc.unique(
+            batch.column(column).combine_chunks())})
 
     from ..checks.cardinality import coalesce_partials
     return coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \
