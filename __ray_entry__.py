@@ -704,6 +704,50 @@ def _q_ngram_jaccard_exact(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]]
 
 
+def _q_vad_stats(sf_dir: str):
+    """Voice-activity (VAD) stats over synthesized audio clips — the
+    whole decode -> energy-VAD -> segment-morphology path is ORACLED:
+    clips are synthesized with speech bursts placed EXACTLY on the
+    20 ms frame grid (tone bursts at amplitude 0.5 over exact-zero
+    silence, gaps > max_gap, bursts > min_speech), so the VAD must
+    recover precisely the planted layout and DuckDB replays that layout
+    with pure integer arithmetic on doc_id:
+
+      doc_id %% 7 == 0          -> silent clip (0 segments)
+      else n_bursts = 1 + doc_id %% 3, k = doc_id %% 5,
+           burst i: start_frame = 5 + 15*i + k,
+                    len_frames  = 8 + (doc_id + i) %% 4
+
+    60 frames x 20 ms = 1200 ms per clip at 8 kHz, pcm_s16le WAV.  A
+    hash match proves the decoder, the frame-RMS voicing, the gap/min
+    morphology and the ms bookkeeping end-to-end (the audio analog of
+    the fingerprints winnowing oracle)."""
+    from osf_data_validator_tool_ray.audio import encode
+    from osf_data_validator_tool_ray.stages.vad_stage import vad_stats
+
+    ids = sorted(_read(sf_dir, "documents", ["doc_id"])
+                 .to_pandas()["doc_id"])[:200]
+    sr, flen, n_fr = 8000, 160, 60
+    rows = []
+    for d in ids:
+        pcm = np.zeros(n_fr * flen, dtype=np.float32)
+        if d % 7 != 0:
+            k = d % 5
+            t = np.arange(flen * 12, dtype=np.float32) / sr
+            for i in range(1 + d % 3):
+                start = (5 + 15 * i + k) * flen
+                ln = (8 + (d + i) % 4) * flen
+                pcm[start:start + ln] = 0.5 * np.sin(
+                    2 * np.pi * (440.0 + 10 * k) * t[:ln])
+        rows.append({"doc_id": int(d),
+                     "bytes": encode(pcm, sr, "pcm_s16le")})
+    clips = ray.data.from_items(rows).repartition(4)
+    out = vad_stats(clips, bytes_col="bytes", id_col="doc_id").to_pandas()
+    cols = ["doc_id", "n_segments", "speech_ms", "total_ms",
+            "lead_silence_ms"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_minhash_jaccard_verified(sf_dir: str):
     """Sketch-then-verify near-dup surface (round-3 verdict item #2):
     MinHash-LSH candidates -> distributed exact 5-gram Jaccard rerank ->
@@ -1348,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "minhash_jaccard_verified": _q_minhash_jaccard_verified,
         "embedding_neardup_verified": _q_embedding_neardup_verified,
+        "vad_stats": _q_vad_stats,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -1600,6 +1645,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "vad_stats": """
+            -- replay the planted burst layout with integer arithmetic:
+            -- the engine's decode + energy-VAD must recover exactly the
+            -- frames the synthesis lit (bursts sit on the frame grid,
+            -- gaps exceed max_gap, bursts exceed min_speech)
+            WITH ids AS (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200
+            ), b AS (
+                SELECT i.doc_id, gs.i AS bi,
+                       8 + (i.doc_id + gs.i) % 4 AS len_fr
+                FROM ids i, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        0, i.doc_id % 3)) AS i) gs
+                WHERE i.doc_id % 7 <> 0
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n_segments,
+                       20 * SUM(len_fr) AS speech_ms
+                FROM b GROUP BY doc_id
+            )
+            SELECT i.doc_id,
+                   COALESCE(a.n_segments, 0)::BIGINT AS n_segments,
+                   COALESCE(a.speech_ms, 0)::BIGINT AS speech_ms,
+                   1200::BIGINT AS total_ms,
+                   (CASE WHEN a.doc_id IS NULL THEN 1200
+                         ELSE 20 * (5 + i.doc_id % 5) END)::BIGINT
+                       AS lead_silence_ms
+            FROM ids i LEFT JOIN agg a ON a.doc_id = i.doc_id
         """,
         "fingerprints": """
             -- winnowing replay: ASCII byte polynomial hash (fits BIGINT

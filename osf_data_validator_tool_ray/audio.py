@@ -317,6 +317,72 @@ def qa_features(f: np.ndarray, sr: int,
     return out
 
 
+def vad_segments(pcm: np.ndarray, sr: int, frame_ms: int = 20,
+                 energy_thresh: float = 0.01, max_gap_ms: int = 60,
+                 min_speech_ms: int = 60) -> np.ndarray:
+    """Energy-based voice-activity segments: (n, 2) int64 array of
+    [start_ms, end_ms) speech spans on the ``frame_ms`` grid.
+
+    Classic energy VAD (frame RMS >= ``energy_thresh``), then two
+    morphological passes: unvoiced gaps <= ``max_gap_ms`` strictly
+    inside speech are closed, voiced runs < ``min_speech_ms`` dropped.
+    Fully vectorized (run boundaries via diff-of-padded-mask; gap
+    closing via a cumsum interval overlay) — no per-frame Python even
+    on pathological alternating-frame audio."""
+    f = np.asarray(pcm, dtype=np.float32)
+    flen = max(1, int(sr * frame_ms / 1000))
+    n_fr = len(f) // flen
+    if n_fr == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    fr = f[: n_fr * flen].astype(np.float64).reshape(n_fr, flen)
+    voiced = np.sqrt(np.mean(fr * fr, axis=1)) >= energy_thresh
+
+    def runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        d = np.diff(np.concatenate(
+            ([0], mask.astype(np.int8), [0])))
+        return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+
+    gap_fr = max_gap_ms // frame_ms
+    if gap_fr > 0:
+        s0, e0 = runs(~voiced)
+        inner = (s0 > 0) & (e0 < n_fr) & ((e0 - s0) <= gap_fr)
+        if inner.any():
+            delta = np.zeros(n_fr + 1, dtype=np.int64)
+            np.add.at(delta, s0[inner], 1)
+            np.add.at(delta, e0[inner], -1)
+            voiced |= np.cumsum(delta[:-1]) > 0
+    s1, e1 = runs(voiced)
+    keep = (e1 - s1) >= max(1, min_speech_ms // frame_ms)
+    return (np.stack([s1[keep], e1[keep]], axis=1) * frame_ms) \
+        .astype(np.int64)
+
+
+def speech_stats(pcm: np.ndarray, sr: int, frame_ms: int = 20,
+                 **vad_kwargs) -> dict:
+    """Per-clip speech-activity profile derived from ``vad_segments``:
+    segment count, speech/total ms, lead/trail silence and the longest
+    silence (including the boundaries).  ``total_ms`` is quantized to
+    the VAD frame grid so speech_ms <= total_ms always holds exactly."""
+    segs = vad_segments(pcm, sr, frame_ms=frame_ms, **vad_kwargs)
+    flen = max(1, int(sr * frame_ms / 1000))
+    total_ms = (len(np.asarray(pcm)) // flen) * frame_ms
+    if len(segs) == 0:
+        return {"n_segments": 0, "speech_ms": 0, "total_ms": int(total_ms),
+                "lead_silence_ms": int(total_ms),
+                "trail_silence_ms": int(total_ms),
+                "longest_silence_ms": int(total_ms)}
+    speech = int((segs[:, 1] - segs[:, 0]).sum())
+    lead = int(segs[0, 0])
+    trail = int(total_ms - segs[-1, 1])
+    sil = [lead, trail]
+    if len(segs) > 1:
+        sil.extend((segs[1:, 0] - segs[:-1, 1]).tolist())
+    return {"n_segments": int(len(segs)), "speech_ms": speech,
+            "total_ms": int(total_ms), "lead_silence_ms": lead,
+            "trail_silence_ms": trail,
+            "longest_silence_ms": int(max(sil))}
+
+
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of `test` against `reference`, in dB."""
     n = min(len(reference), len(test))

@@ -130,6 +130,20 @@ def check_decode(ctx: RunContext, profile: str = "light", batch_size: str = "256
     return v
 
 
+@register("vad")
+def check_vad(ctx: RunContext, min_speech_ratio: str = "0.2",
+              min_cps: str = "0.2", max_cps: str = "40",
+              energy_thresh: str = "0.01", batch_size: str = "256"):
+    from ..stages.vad_stage import vad_stats, vad_violations
+    if "bytes" not in ctx.ds.schema().names:
+        return None
+    stats = vad_stats(ctx.ds, batch_size=int(batch_size),
+                      energy_thresh=float(energy_thresh))
+    return vad_violations(stats,
+                          min_speech_ratio=float(min_speech_ratio),
+                          min_cps=float(min_cps), max_cps=float(max_cps))
+
+
 @register("drift")
 def check_drift(ctx: RunContext, ks_threshold: str = "0.1", psi_threshold: str = "0.2"):
     from .drift import TableProfile, build_profile, drift_violations
