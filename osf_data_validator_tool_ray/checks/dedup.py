@@ -527,15 +527,24 @@ def near_dup_clusters(
                          "node": pa.nulls(t.num_rows, type=id_type),
                          "label": t.column("label").cast(id_type)})
 
-    def prop(g: pd.DataFrame) -> pd.DataFrame:
+    def prop(g: pa.Table) -> pa.Table:
         # one label row per key (its current label) + the edges whose
         # neighbor is this key: push the label to each edge's node, and
-        # keep the key's own label  (spill-overflow fallback path only)
-        lbls = g["label"].dropna()
-        lbl = lbls.min() if len(lbls) else g["key"].iloc[0]
-        nodes = g.loc[g["node"].notna(), "node"].tolist()
-        nodes.append(g["key"].iloc[0])
-        return pd.DataFrame({"node": nodes, "label": [lbl] * len(nodes)})
+        # keep the key's own label (boundary-spill pass only).  Pure
+        # Arrow: a pandas round-trip here would NaN-promote int64 ids
+        # through the null-tagged columns and corrupt ids > 2^53 —
+        # and this pass fires EVERY round (each non-empty sorted block
+        # spills its min/max keys).
+        key0 = g.column("key")[0]
+        lbls = pc.drop_null(g.column("label"))
+        lbl = pc.min(lbls) if len(lbls) else key0
+        nodes = pc.drop_null(g.column("node")).combine_chunks()
+        out_nodes = pa.concat_arrays(
+            [nodes, pa.array([key0.as_py()], type=id_type)])
+        return pa.table({
+            "node": out_nodes,
+            "label": pa.array([lbl.as_py()] * len(out_nodes),
+                              type=id_type)})
 
     def block_join(t: pa.Table) -> pa.Table:
         """One sorted block of the tagged union: Arrow hash-join label
@@ -606,14 +615,20 @@ def near_dup_clusters(
     # The degree groupby partial-aggregates map-side, so the hot node's
     # own count rows are one-per-block, never one-per-edge.
     from ray.data.aggregate import Count as _Count
-    deg = edges.groupby("nbr").aggregate(
-        _Count(alias_name="deg")).map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("deg"),
-                                            hot_degree_threshold)),
-        batch_format="pyarrow", batch_size=None)
-    hot_rows = deg.sort("deg", descending=True).limit(max_hot_keys) \
-        .select_columns(["nbr"]).take_all()
-    hot_keys = pa.array([r["nbr"] for r in hot_rows], type=id_type)
+    # a graph with fewer exploded edge rows than the threshold cannot
+    # contain a hot key — skip the degree exchange entirely (edges is
+    # materialized, so count() is block metadata, not a scan)
+    if edges.count() >= hot_degree_threshold:
+        deg = edges.groupby("nbr").aggregate(
+            _Count(alias_name="deg")).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"),
+                                                hot_degree_threshold)),
+            batch_format="pyarrow", batch_size=None)
+        hot_rows = deg.sort("deg", descending=True).limit(max_hot_keys) \
+            .select_columns(["nbr"]).take_all()
+        hot_keys = pa.array([r["nbr"] for r in hot_rows], type=id_type)
+    else:
+        hot_keys = pa.array([], type=id_type)
     n_hot = len(hot_keys)
 
     hot_edges = None
@@ -677,17 +692,15 @@ def near_dup_clusters(
             lambda t: t.filter(pc.equal(t.column("flag"), "s"))
                        .select(["key", "node", "label"]),
             batch_format="pyarrow", batch_size=None)
-        n_spill = spill.count()
-        spill_rows_total += n_spill
-        cand = done
-        if n_spill:
-            cand = cand.union(
-                spill.groupby("key").map_groups(
-                    prop, batch_format="pandas").map_batches(
-                    lambda t: pa.table({
-                        "node": t.column("node").cast(id_type),
-                        "label": t.column("label").cast(id_type)}),
-                    batch_format="pyarrow", batch_size=None))
+        # every non-empty sorted block spills its min/max keys, so the
+        # spill pass effectively always runs — union it unconditionally
+        # (an empty spill arm costs nothing) instead of paying a
+        # driver-blocking count() per round just to skip it; the Arrow
+        # `prop` keeps int64 ids exact through the null-tagged columns
+        cand = done.union(
+            spill.groupby("key").map_groups(prop, batch_format="pyarrow"))
+        if _stats is not None:
+            spill_rows_total += spill.count()
         for p in cand_parts:
             cand = cand.union(p)
         new_labels = cand.groupby("node").aggregate(
@@ -696,7 +709,13 @@ def near_dup_clusters(
                                 "label": t.column("label").cast(id_type)}),
             batch_format="pyarrow", batch_size=None) \
             .repartition(n_lbl_blocks).materialize()
-        labels = new_labels
+        # HARD lineage cut: a MaterializedDataset still carries its
+        # logical plan, so each round's plan tree embedded the previous
+        # rounds' plans and driver-side planning grew ~1.6x PER ROUND
+        # (a 15-round chain graph went from seconds of execution to
+        # minutes of planning).  Rebuilding from the materialized block
+        # refs makes every round's plan depth constant.
+        labels = ray.data.from_arrow_refs(new_labels.to_arrow_refs())
         new_sum = _checksum(labels)
         if new_sum == prev_sum:
             break

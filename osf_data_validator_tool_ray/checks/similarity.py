@@ -28,7 +28,8 @@ def _cluster_cpus() -> int:
         return 8
 
 
-def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, emb_col: str,
+                  dtype=np.float32) -> np.ndarray:
     arr = batch.column(emb_col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -36,9 +37,10 @@ def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
         # Ray's ArrowTensorArray extension (numpy-ndarray columns):
         # to_numpy gives the (n, d) view directly
         return np.asarray(arr.to_numpy(zero_copy_only=False)) \
-            .astype(np.float32, copy=False)
+            .astype(dtype, copy=False)
     # zero-copy: fixed-length lists -> (n, d) view over the flat buffer
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    flat = arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(dtype, copy=False)
     n = len(arr)
     return flat.reshape(n, -1)
 
@@ -256,6 +258,100 @@ def ann_topk_ivf(
     return ann_topk_bruteforce(candidates, emb_col, id_col, queries, k)
 
 
+def exact_cosine_for_pairs(
+    ds: "ray.data.Dataset",
+    pairs: "pd.DataFrame",
+    emb_col: str,
+    id_col: str,
+) -> "pd.DataFrame":
+    """Exact float64 cosine for candidate pairs, computed DISTRIBUTED —
+    the embedding mirror of ``dedup.exact_jaccard_for_pairs``
+    (checks/dedup.py): broadcast the candidate-id set once via ray.put,
+    semi-join the corpus inside map_batches (the embedding column never
+    reaches the driver), route each vector to its pair slots with a
+    tagged-union groupby on id, then one cosine per pair in a second
+    small groupby.  ``pairs`` (id_a, id_b, ...) lives on the driver —
+    bounded by the candidate generator's per-bucket caps."""
+    import ray as _ray
+
+    if len(pairs) == 0:
+        out = pairs.copy()
+        out["cosine"] = pd.Series(dtype="float64")
+        return out
+    ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    ids_ref = _ray.put(ids)
+    emb_type = pa.list_(pa.float64())
+
+    def emb_stage(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(ids_ref)          # plasma-cached per worker
+        idvals = t.column(id_col).to_pandas()
+        m = idvals.isin(wanted).to_numpy(dtype=bool)
+        if not m.any():
+            return pa.table({
+                "key": pa.array([], type=t.schema.field(id_col).type),
+                "pair_id": pa.array([], type=pa.int64()),
+                "role": pa.array([], type=pa.int8()),
+                "emb": pa.array([], type=emb_type)})
+        sub = t.filter(pa.array(m))
+        mnorm = _normalize(_batch_matrix(sub, emb_col, dtype=np.float64))
+        n = sub.num_rows
+        return pa.table({"key": sub.column(id_col),
+                         "pair_id": pa.nulls(n, type=pa.int64()),
+                         "role": pa.nulls(n, type=pa.int8()),
+                         "emb": pa.array(list(mnorm), type=emb_type)})
+
+    embs = ds.select_columns([id_col, emb_col]).map_batches(
+        emb_stage, batch_format="pyarrow", batch_size=None)
+
+    key_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == id_col:
+            key_type = typ if isinstance(typ, pa.DataType) else None
+    pair_rows = pd.DataFrame({
+        "key": pd.concat([pairs["id_a"], pairs["id_b"]],
+                         ignore_index=True),
+        "pair_id": np.concatenate(
+            [np.arange(len(pairs), dtype=np.int64)] * 2),
+        "role": np.concatenate([np.zeros(len(pairs), dtype=np.int8),
+                                np.ones(len(pairs), dtype=np.int8)]),
+    })
+    pr = pa.Table.from_pandas(pair_rows, preserve_index=False)
+    if key_type is not None:
+        pr = pr.set_column(0, "key", pr.column("key").cast(key_type))
+    pr = pr.append_column("emb", pa.nulls(pr.num_rows, type=emb_type))
+    pair_ds = ray.data.from_arrow(pr.replace_schema_metadata(None))
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        vec_rows = g[g["emb"].notna()]
+        slots = g[g["pair_id"].notna()]
+        if vec_rows.empty or slots.empty:
+            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
+                                 "role": pd.Series(dtype="int8"),
+                                 "emb": pd.Series(dtype="object")})
+        v = vec_rows["emb"].iloc[0]
+        return pd.DataFrame({"pair_id": slots["pair_id"].astype("int64"),
+                             "role": slots["role"].astype("int8"),
+                             "emb": [v] * len(slots)})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        a = np.asarray(g["emb"].iloc[0], dtype=np.float64)
+        b = np.asarray(g["emb"].iloc[1], dtype=np.float64)
+        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
+                             "cosine": [float(a @ b)]})
+
+    routed = embs.union(pair_ds).groupby("key").map_groups(
+        route, batch_format="pandas")
+    scored = routed.groupby("pair_id").map_groups(
+        score, batch_format="pandas").to_pandas()
+    out = pairs.reset_index(drop=True).copy()
+    out["pair_id"] = np.arange(len(out), dtype=np.int64)
+    return out.merge(scored, on="pair_id", how="left") \
+        .drop(columns=["pair_id"])
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str,
@@ -273,24 +369,47 @@ def embedding_near_dup_pairs(
 
     ``n_tables`` is the recall knob (round-3 verdict item #3): T
     independent hyperplane sets are hashed in the SAME single pass over
-    the data (the banded table is T× the id column, not T scans), pairs
-    are deduped across tables by the existing cross-bucket pair-dedup
-    aggregate; miss probability for a cosine-tau pair drops from
-    (1-(1-theta/pi)^P) to that raised to the T-th power — with
-    n_planes=6, n_tables=16, a 0.96-cosine pair is missed w.p. ~3e-7,
-    which makes the candidate surface exactly verifiable against an
-    all-pairs SQL oracle on test corpora."""
+    the data, and the banded exchange carries (table, bucket, id) ONLY
+    — never the embedding payload (T scans or a T-fold vector
+    replication would move TX the corpus's dominant bytes).  Candidate
+    pairs dedup across tables, then ONE broadcast semi-join rerank
+    (``exact_cosine_for_pairs``) computes exact float64 cosines.  Miss
+    probability for a cosine-tau pair drops from (1-(1-theta/pi)^P) to
+    that raised to the T-th power — with n_planes=6, n_tables=16, a
+    0.96-cosine pair is missed w.p. ~3e-7, which makes the candidate
+    surface exactly verifiable against an all-pairs SQL oracle on test
+    corpora."""
     planes_cache: dict[int, np.ndarray] = {}   # per-task: dim -> planes
 
-    def assign(batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, emb_col))
-        planes = planes_cache.get(m.shape[1])
+    def _planes(dim: int) -> np.ndarray:
+        planes = planes_cache.get(dim)
         if planes is None:
             # deterministic per (seed, dim) — every task derives the SAME
             # hyperplanes, computed once per task, not per batch
             planes = np.random.default_rng(seed).standard_normal(
-                (n_tables * n_planes, m.shape[1])).astype(np.float32)
-            planes_cache[m.shape[1]] = planes
+                (n_tables * n_planes, dim)).astype(np.float32)
+            planes_cache[dim] = planes
+        return planes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # single-table path: the embedding rides the one exchange so the
+        # rerank happens in-bucket with no second pass
+        m = _normalize(_batch_matrix(batch, emb_col))
+        buckets = srp_bucket_bits(m, _planes(m.shape[1])[:n_planes])
+        return pa.table({
+            "table": pa.array(np.zeros(len(buckets), dtype=np.uint16)),
+            "bucket": pa.array(buckets, type=pa.uint32()),
+            id_col: batch.column(id_col),
+            emb_col: batch.column(emb_col),
+        })
+
+    def assign_ids(batch: pa.Table) -> pa.Table:
+        # multi-table path exchanges (table, bucket, id) ONLY — the
+        # T-fold row replication carries 8-byte ids, never the embedding
+        # payload (a 16-table exchange of the vectors themselves would
+        # move 16x the corpus's dominant bytes)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        planes = _planes(m.shape[1])
         tables = []
         for t_idx in range(n_tables):
             sub = planes[t_idx * n_planes:(t_idx + 1) * n_planes]
@@ -300,9 +419,30 @@ def embedding_near_dup_pairs(
                     np.full(len(buckets), t_idx, dtype=np.uint16)),
                 "bucket": pa.array(buckets, type=pa.uint32()),
                 id_col: batch.column(id_col),
-                emb_col: batch.column(emb_col),
             }))
         return pa.concat_tables(tables)
+
+    def bucket_pairs_ids(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        idt = group[id_col].dtype
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=idt),
+                                 "id_b": pd.Series(dtype=idt),
+                                 "hit": pd.Series(dtype="int64")})
+        if n > max_bucket:
+            import logging
+            logging.getLogger(
+                "osf_data_validator_tool_ray.similarity").warning(
+                "embedding_near_dup_pairs: bucket of %d rows truncated "
+                "to max_bucket=%d (%d candidate pairs dropped)",
+                n, max_bucket,
+                n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2)
+            group = group.iloc[:max_bucket]
+            n = max_bucket
+        ids = np.sort(group[id_col].to_numpy())
+        iu = np.triu_indices(n, k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]],
+                             "hit": np.ones(len(iu[0]), dtype=np.int64)})
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         n = len(group)
@@ -338,7 +478,37 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"id_a": a2, "id_b": b2, "cosine": s[iu][hit].astype(np.float64)})
 
     from ..checks.dedup import _bucket_pairs_adaptive
+    if n_tables <= 1:
+        assigned = ds.select_columns([emb_col, id_col]).map_batches(
+            assign, batch_format="pyarrow")
+        return _bucket_pairs_adaptive(assigned, ["table", "bucket"],
+                                      bucket_pairs, "cosine", "max")
+
+    # multi-table: ids-only banding -> cross-table pair dedup -> exact
+    # float64 cosine rerank via the broadcast semi-join (the candidate
+    # pair list is driver-resident, bounded by the per-bucket caps —
+    # the same contract as dedup.exact_jaccard_for_pairs)
     assigned = ds.select_columns([emb_col, id_col]).map_batches(
-        assign, batch_format="pyarrow")
-    return _bucket_pairs_adaptive(assigned, ["table", "bucket"],
-                                  bucket_pairs, "cosine", "max")
+        assign_ids, batch_format="pyarrow")
+    cand = _bucket_pairs_adaptive(assigned, ["table", "bucket"],
+                                  bucket_pairs_ids, "hit", "max") \
+        .to_pandas()
+    id_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == id_col and isinstance(typ, pa.DataType):
+            id_type = typ
+    if len(cand) == 0 or "id_a" not in cand.columns:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type or pa.int64()),
+            "id_b": pa.array([], type=id_type or pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+    out = exact_cosine_for_pairs(ds, cand[["id_a", "id_b"]], emb_col,
+                                 id_col)
+    out = out[out["cosine"] >= tau].reset_index(drop=True)
+    t = pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+    if id_type is not None:
+        t = pa.table({"id_a": t.column("id_a").cast(id_type),
+                      "id_b": t.column("id_b").cast(id_type),
+                      "cosine": t.column("cosine")})
+    return ray.data.from_arrow(t)

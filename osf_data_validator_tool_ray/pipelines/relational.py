@@ -360,9 +360,20 @@ def grouped_agg(
                 arrow_aggs.append(src)
             arrow_name[out] = nm
         g = t.group_by(keylist, use_threads=False).aggregate(arrow_aggs)
+
+        def col_for(out: str):
+            c = g.column(arrow_name[out])
+            # Arrow sums an all-null group to NULL; the pandas combiner
+            # this replaced (and the distributed Ray Sum final merge)
+            # say 0 — pin the partial to 0 so the driver-merge and
+            # exchange paths can't diverge on all-null groups
+            if part_fns[out][1] in ("sum", "size"):
+                c = pc.fill_null(c, 0)
+            return c
+
         return pa.table(
             {**{k: g.column(k) for k in keylist},
-             **{out: g.column(nm) for out, nm in arrow_name.items()}})
+             **{out: col_for(out) for out in arrow_name}})
 
     from ..checks.cardinality import coalesce_partials
 
@@ -389,9 +400,15 @@ def distinct_values(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
     (CheckPropertiesDefined.php:40-51)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        # Arrow-native distinct partial (no pandas copy)
-        return pa.table({column: pc.unique(
-            batch.column(column).combine_chunks())})
+        # Arrow-native distinct partial (no pandas copy).  Float NaN is
+        # collapsed into null first: the pandas path this replaced saw
+        # NaN and null as ONE missing value, and pc.unique would
+        # otherwise emit both, growing the distinct set by one.
+        col = batch.column(column).combine_chunks()
+        if pa.types.is_floating(col.type):
+            col = pc.if_else(pc.is_nan(col), pa.nulls(len(col), col.type),
+                             col)
+        return pa.table({column: pc.unique(col)})
 
     from ..checks.cardinality import coalesce_partials
     return coalesce_partials(ds.map_batches(partial, batch_format="pyarrow", batch_size=None)) \

@@ -446,8 +446,14 @@ def _presplit_chunked_join(
     right_ts = order_col
 
     def _chunks_of(t: pa.Table, ts_col: str) -> np.ndarray:
-        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        # null timestamps land in chunk 0 (instead of NaN-poisoning the
+        # int64 cast): the per-chunk PLAIN join then treats them exactly
+        # as the unsplit path would — never matching, kept under
+        # how='left' — so enabling the hot-key knob can't turn tolerated
+        # dirty data into an ArrowInvalid crash
+        ts = pc.fill_null(
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            0).to_numpy(zero_copy_only=False)
         return np.floor_divide(ts, chunk_us)
 
     def _compose_kc(key_col, chunk_arr: "pa.Array") -> "pa.Array":

@@ -136,7 +136,7 @@ def vad_violations(
         if "transcript" in t.column_names:
             tr = t.column("transcript").to_pylist()
             has_tr = np.array([bool(x) and bool(str(x).strip())
-                               for x in tr])
+                               for x in tr], dtype=bool)
             m = ok & has_tr & (nseg == 0)
             if m.any():
                 out.append(make_violations(
