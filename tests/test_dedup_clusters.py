@@ -86,3 +86,44 @@ def test_clusters_distributed_matches_union_find_on_random_graph():
                             max_rounds=30).to_pandas() \
         .set_index("doc_id")["cluster_id"].to_dict()
     assert got == want
+
+
+def test_clusters_hot_key_celebrity_matches_union_find():
+    """Verdict round-3 #5 'Done =': a celebrity node (degree >> the hot
+    threshold) through the FORCED distributed path matches the
+    union-find answer, and the hot-key split actually engaged (its
+    edges bypassed the exchange)."""
+    import numpy as np
+
+    n_sat = 5000
+    center = 0
+    sats = np.arange(1, n_sat + 1)
+    df = pd.DataFrame({"id_a": np.full(n_sat, center), "id_b": sats})
+    # plus a disjoint chain to prove non-hot keys still propagate
+    chain = pd.DataFrame({"id_a": [10_000, 10_001], "id_b": [10_001, 10_002]})
+    pairs = ray.data.from_pandas(pd.concat([df, chain], ignore_index=True)) \
+        .repartition(4)
+    stats = {}
+    out = near_dup_clusters(pairs, driver_threshold=0,
+                            hot_degree_threshold=1000, _stats=stats) \
+        .to_pandas().set_index("doc_id")["cluster_id"]
+    assert stats["n_hot"] >= 1
+    assert stats["hot_edge_rows"] > 0
+    assert (out[sats] == center).all()
+    assert out[center] == center
+    assert out[10_000] == out[10_001] == out[10_002] == 10_000
+
+
+def test_clusters_distributed_ids_beyond_2_53_exact():
+    """int64 ids above 2^53 survive the distributed path exactly (the
+    boundary-spill pass is pure Arrow — a pandas round-trip would round
+    them to the nearest float64 and corrupt the labels)."""
+    base = (1 << 53) + 1          # not representable in float64
+    ids = [base + i for i in range(6)]
+    pairs = _pairs([(ids[0], ids[1]), (ids[1], ids[2]),
+                    (ids[3], ids[4]), (ids[4], ids[5])])
+    out = near_dup_clusters(pairs, driver_threshold=0).to_pandas() \
+        .set_index("doc_id")["cluster_id"]
+    assert set(out.index) == set(ids)          # no phantom/rounded ids
+    assert out[ids[0]] == out[ids[1]] == out[ids[2]] == ids[0]
+    assert out[ids[3]] == out[ids[4]] == out[ids[5]] == ids[3]
