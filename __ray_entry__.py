@@ -748,6 +748,40 @@ def _q_vad_stats(sf_dir: str):
     return out[cols].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_trim_silence(sf_dir: str):
+    """Lead/trail silence trimming over the same planted-burst corpus
+    as vad_stats — the decode -> VAD -> slice -> re-encode transform,
+    ORACLED by replaying the burst layout arithmetic (first segment
+    start / last segment end) in SQL.  Silent clips pass through
+    untrimmed by design (the caller's quarantine policy decides)."""
+    from osf_data_validator_tool_ray.audio import encode
+    from osf_data_validator_tool_ray.stages.vad_stage import trim_silence
+
+    ids = sorted(_read(sf_dir, "documents", ["doc_id"])
+                 .to_pandas()["doc_id"])[:200]
+    sr, flen, n_fr = 8000, 160, 60
+    rows = []
+    for d in ids:
+        pcm = np.zeros(n_fr * flen, dtype=np.float32)
+        if d % 7 != 0:
+            k = d % 5
+            t = np.arange(flen * 12, dtype=np.float32) / sr
+            for i in range(1 + d % 3):
+                start = (5 + 15 * i + k) * flen
+                ln = (8 + (d + i) % 4) * flen
+                pcm[start:start + ln] = 0.5 * np.sin(
+                    2 * np.pi * (440.0 + 10 * k) * t[:ln])
+        rows.append({"doc_id": int(d),
+                     "bytes": encode(pcm, sr, "pcm_s16le")})
+    clips = ray.data.from_items(rows).repartition(4)
+    out = trim_silence(clips, bytes_col="bytes", id_col="doc_id") \
+        .to_pandas()
+    out["trimmed"] = out["trimmed"].astype("int64")
+    cols = ["doc_id", "trimmed", "out_ms", "trimmed_lead_ms",
+            "trimmed_trail_ms"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_minhash_jaccard_verified(sf_dir: str):
     """Sketch-then-verify near-dup surface (round-3 verdict item #2):
     MinHash-LSH candidates -> distributed exact 5-gram Jaccard rerank ->
@@ -1393,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_jaccard_verified": _q_minhash_jaccard_verified,
         "embedding_neardup_verified": _q_embedding_neardup_verified,
         "vad_stats": _q_vad_stats,
+        "trim_silence": _q_trim_silence,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -1672,6 +1707,27 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN a.doc_id IS NULL THEN 1200
                          ELSE 20 * (5 + i.doc_id % 5) END)::BIGINT
                        AS lead_silence_ms
+            FROM ids i LEFT JOIN agg a ON a.doc_id = i.doc_id
+        """,
+        "trim_silence": """
+            -- replay the trim arithmetic on the planted layout: lo =
+            -- first burst start, hi = last burst end; silent clips
+            -- (doc_id % 7 = 0) pass through untrimmed
+            WITH ids AS (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200
+            ), agg AS (
+                SELECT doc_id,
+                       20 * (5 + doc_id % 5) AS lo_ms,
+                       20 * (5 + 15 * (doc_id % 3) + doc_id % 5
+                             + 8 + (doc_id + doc_id % 3) % 4) AS hi_ms
+                FROM ids WHERE doc_id % 7 <> 0
+            )
+            SELECT i.doc_id,
+                   (a.doc_id IS NOT NULL)::BIGINT AS trimmed,
+                   COALESCE(a.hi_ms - a.lo_ms, 1200)::BIGINT AS out_ms,
+                   COALESCE(a.lo_ms, 0)::BIGINT AS trimmed_lead_ms,
+                   COALESCE(1200 - a.hi_ms, 0)::BIGINT
+                       AS trimmed_trail_ms
             FROM ids i LEFT JOIN agg a ON a.doc_id = i.doc_id
         """,
         "fingerprints": """

@@ -105,6 +105,86 @@ def vad_stats(
         VadStage(bytes_col, id_col, **vad_kwargs), **kwargs)
 
 
+class TrimSilenceStage:
+    """Lead/trail-silence trimming transform — the curation twin of
+    ``VadStage``: decode, find the speech extent (first VAD segment
+    start .. last segment end, padded by ``keep_ms`` on both sides),
+    slice the PCM on exact sample boundaries and re-encode with the
+    clip's own codec.  Silent or undecodable clips pass through with
+    ``trimmed=False`` (dropping them is the caller's policy, e.g. a
+    VAD-100 quarantine), so the stage is lossless on everything it
+    does not positively identify as trimmable."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 keep_ms: int = 0, frame_ms: int = 20,
+                 energy_thresh: float = 0.01, max_gap_ms: int = 60,
+                 min_speech_ms: int = 60):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.keep_ms = keep_ms
+        self.frame_ms = frame_ms
+        self.kw = dict(frame_ms=frame_ms, energy_thresh=energy_thresh,
+                       max_gap_ms=max_gap_ms, min_speech_ms=min_speech_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = audio.binary_views(batch.column(self.bytes_col))
+        n = len(payloads)
+        out_bytes: list = [None] * n
+        trimmed = np.zeros(n, dtype=bool)
+        lead = np.zeros(n, dtype=np.int64)
+        trail = np.zeros(n, dtype=np.int64)
+        out_ms = np.zeros(n, dtype=np.int64)
+        for i, buf in enumerate(payloads):
+            out_bytes[i] = bytes(buf) if buf is not None else None
+            if buf is None:
+                continue
+            try:
+                pcm, sr = audio.decode(buf)
+                codec = audio.sniff_codec(buf) or "pcm_s16le"
+            except audio.DecodeError:
+                continue
+            segs = audio.vad_segments(pcm, sr, **self.kw)
+            flen = max(1, int(sr * self.frame_ms / 1000))
+            total_ms = (len(pcm) // flen) * self.frame_ms
+            if len(segs) == 0:
+                out_ms[i] = total_ms
+                continue
+            lo_ms = max(0, int(segs[0, 0]) - self.keep_ms)
+            hi_ms = min(total_ms, int(segs[-1, 1]) + self.keep_ms)
+            lo = int(lo_ms * sr / 1000)
+            hi = int(hi_ms * sr / 1000)
+            out_bytes[i] = audio.encode(pcm[lo:hi], sr, codec)
+            trimmed[i] = True
+            lead[i] = lo_ms
+            trail[i] = total_ms - hi_ms
+            out_ms[i] = hi_ms - lo_ms
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            self.bytes_col: pa.array(out_bytes, type=pa.binary()),
+            "trimmed": pa.array(trimmed),
+            "trimmed_lead_ms": pa.array(lead),
+            "trimmed_trail_ms": pa.array(trail),
+            "out_ms": pa.array(out_ms),
+        })
+
+
+def trim_silence(
+    ds: "ray.data.Dataset",
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    batch_size: int = 256,
+    concurrency=None,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """One streamed decode->trim->re-encode pass over the payload
+    column (see TrimSilenceStage)."""
+    cols = [c for c in (id_col, bytes_col) if c in ds.schema().names]
+    mb: dict = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        mb["concurrency"] = concurrency
+    return ds.select_columns(cols).map_batches(
+        TrimSilenceStage(bytes_col, id_col, **kwargs), **mb)
+
+
 def vad_violations(
     stats: "ray.data.Dataset",
     id_col: str = "clip_id",

@@ -132,6 +132,43 @@ def test_vad_registry_entry():
     assert len(df2) == 0 or not (df2["check_id"] == "VAD-100").any()
 
 
+def test_trim_silence_roundtrip_exact():
+    """Trimmed payload decodes to EXACTLY the sliced PCM (sample-
+    boundary slice + same-codec re-encode), silence accounting adds
+    up, and silent/undecodable clips pass through untouched."""
+    from osf_data_validator_tool_ray.audio import decode
+    from osf_data_validator_tool_ray.stages.vad_stage import trim_silence
+
+    pcm = _pcm(60)
+    _burst(pcm, 5, 8)
+    _burst(pcm, 30, 10)
+    enc = encode(pcm, SR, "pcm_s16le")
+    silent = encode(_pcm(60), SR, "pcm_s16le")
+    ds = ray.data.from_items([
+        {"clip_id": "t0", "bytes": enc},
+        {"clip_id": "t1", "bytes": silent},
+        {"clip_id": "t2", "bytes": b"junk"},
+    ])
+    out = trim_silence(ds).to_pandas().set_index("clip_id")
+    assert bool(out.loc["t0", "trimmed"])
+    assert out.loc["t0", "trimmed_lead_ms"] == 100
+    assert out.loc["t0", "trimmed_trail_ms"] == 400
+    assert out.loc["t0", "out_ms"] == 700
+    got, sr2 = decode(out.loc["t0", "bytes"])
+    ref, _ = decode(enc)
+    lo, hi = int(0.1 * SR), int(0.8 * SR)
+    assert sr2 == SR and np.array_equal(got, ref[lo:hi])
+    # keep_ms pads the slice
+    out2 = trim_silence(ds, keep_ms=40).to_pandas().set_index("clip_id")
+    assert out2.loc["t0", "trimmed_lead_ms"] == 60
+    assert out2.loc["t0", "out_ms"] == 780
+    # silent + undecodable pass through byte-identical
+    assert not bool(out.loc["t1", "trimmed"])
+    assert bytes(out.loc["t1", "bytes"]) == silent
+    assert not bool(out.loc["t2", "trimmed"])
+    assert bytes(out.loc["t2", "bytes"]) == b"junk"
+
+
 def test_vad_stage_partitioning_invariant():
     from osf_data_validator_tool_ray.stages.vad_stage import vad_stats
 
