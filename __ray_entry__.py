@@ -1287,10 +1287,12 @@ def _q_corpus_curation(sf_dir: str):
 
 
 def _q_drift_check(sf_dir: str):
-    """KS/PSI distribution drift (DRIFT-100; no SQL oracle — sketch
+    """KS/PSI distribution drift (DRIFT-100; no hash oracle — sketch
     comparison): baseline profile of lineitem vs a deliberately shifted
     current slice (l_quantity > 25), per-block sketch partials merged
-    driver-side, no shuffle.  Returns the drifted columns."""
+    driver-side, no shuffle.  Returns the drifted columns.
+    Self-asserting: the sketch KS is checked inline against DuckDB's
+    exact ECDF KS (within histogram resolution)."""
     from osf_data_validator_tool_ray.checks.drift import (
         build_profile, drift_violations)
     cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"]
@@ -1303,6 +1305,30 @@ def _q_drift_check(sf_dir: str):
     cur = build_profile(cur_ds, ["l_quantity", "l_extendedprice"],
                         ["l_returnflag"], ["l_orderkey"])
     v = drift_violations(cur, base)
+    # self-assert (round-4, the kll/hll pattern): the SKETCH KS for the
+    # planted l_quantity shift must sit within histogram resolution of
+    # the exact KS DuckDB computes from the raw column — a broken
+    # StreamHist merge or CDF interpolation fails the query loudly
+    import duckdb
+    from osf_data_validator_tool_ray.functions.sketches import (
+        ks_statistic)
+    ks_sketch = ks_statistic(cur.numeric["l_quantity"],
+                             base.numeric["l_quantity"])
+    ks_exact = duckdb.sql(f"""
+        WITH v AS (SELECT l_quantity FROM
+                   read_parquet('{sf_dir}/lineitem.parquet')),
+        g AS (SELECT l_quantity q,
+                     COUNT(*) n_all,
+                     SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) n_cur
+              FROM v GROUP BY 1),
+        c AS (SELECT q,
+                     SUM(n_all) OVER (ORDER BY q)::DOUBLE
+                         / (SELECT SUM(n_all) FROM g) AS f_all,
+                     SUM(n_cur) OVER (ORDER BY q)::DOUBLE
+                         / (SELECT SUM(n_cur) FROM g) AS f_cur
+              FROM g)
+        SELECT MAX(ABS(f_all - f_cur)) AS ks FROM c""").df()["ks"].iloc[0]
+    assert abs(ks_sketch - ks_exact) < 0.05, (ks_sketch, float(ks_exact))
     return v.select(["check_id", "column"]).to_pandas() \
         .sort_values(["check_id", "column"]).reset_index(drop=True)
 
