@@ -384,7 +384,10 @@ def _q_session_windows(sf_dir: str):
     """Gap-based session windows (30 min gap) per user."""
     from osf_data_validator_tool_ray.pipelines.streaming import session_windows
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return session_windows(ds, "user_id", "ts", gap_s=1800)
+    # presplit exercises the two-level hot-key sessionizer under the
+    # oracle (parity-tested == plain path)
+    return session_windows(ds, "user_id", "ts", gap_s=1800,
+                           presplit_chunk_s=6 * 3600)
 
 
 def _q_asof_join(sf_dir: str):
@@ -400,8 +403,12 @@ def _q_asof_join(sf_dir: str):
     per_day = per_day.map_batches(
         lambda t: t.rename_columns(["user_id", "o_orderdate", "o_totalprice"]),
         batch_format="pyarrow")
+    # presplit exercises the chunked carry-in path under the oracle
+    # (parity-tested == plain path)
     return asof_join(events, per_day, key="user_id", left_ts="ts",
-                     right_ts="o_orderdate", right_cols=["o_orderdate", "o_totalprice"])
+                     right_ts="o_orderdate",
+                     right_cols=["o_orderdate", "o_totalprice"],
+                     presplit_chunk_s=30 * 86400)
 
 
 def _q_topk_per_group(sf_dir: str):
@@ -1114,9 +1121,13 @@ def _q_interval_join_sessions(sf_dir: str):
                          "ts_us": us})
 
     left = events.map_batches(add_us, batch_format="pyarrow", batch_size=None)
+    # presplit_chunk_s exercises the hot-key time-chunked path under the
+    # SQL oracle (round-4): identical semantics to the plain path
+    # (parity-tested), but now the carry-in machinery itself is
+    # hash-verified by the driver compare
     j = interval_join(left, sessions, key="user_id", ts_col="ts_us",
                       start_col="session_start", end_col="session_end",
-                      right_cols=["session_id"])
+                      right_cols=["session_id"], presplit_chunk_s=3600)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -602,7 +602,8 @@ def near_dup_clusters(
         acc = 0
         for b in lbl_ds.map_batches(part, batch_format="pyarrow",
                                     batch_size=None).iter_batches(
-                                        batch_format="pyarrow"):
+                                        batch_format="pyarrow",
+                                        batch_size=None):
             for v in b.column("h").to_pylist():
                 acc ^= v
         return acc
