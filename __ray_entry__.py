@@ -330,18 +330,40 @@ def _q_ann_topk(sf_dir: str):
 
 def _q_ann_topk_lsh(sf_dir: str):
     """SRP-LSH approximate cosine top-5 (probe bucket + hamming-1).  No
-    SQL oracle (bucket membership isn't SQL-expressible); recall vs the
-    oracled brute-force result is gated in pytest
-    (tests/test_dedup_similarity.py::test_ann_lsh_recall_vs_bruteforce)."""
+    hash oracle (bucket membership isn't SQL-expressible); recall vs
+    the oracled brute-force result is gated in pytest AND self-asserted
+    inline against DuckDB's exact top-5 (>= 0.6)."""
     import pyarrow.parquet as pq
     from osf_data_validator_tool_ray.checks.similarity import ann_topk_lsh
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
     queries = np.stack([np.asarray(v, dtype=np.float32)
                         for v in qt.column("embedding").to_pylist()])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    top = ann_topk_lsh(ds, "embedding", "vec_id", queries, k=5, n_planes=6)
+    top = ann_topk_lsh(ds, "embedding", "vec_id", queries, k=5, n_planes=6,
+                       probe_hamming=2)
     df = top.to_pandas()
     df["score"] = df["score"].round(6)
+    # self-assert (round-4): recall@5 vs the exact DuckDB top-5 must
+    # clear the same 0.6 bar the pytest gate uses — a broken bucket
+    # probe fails the query loudly instead of shipping garbage
+    import duckdb
+    truth = duckdb.sql(f"""
+        WITH e AS (SELECT vec_id, embedding FROM
+                   read_parquet('{sf_dir}/embeddings.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+              WHERE vec_id < 3),
+        ranked AS (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.qe AS DOUBLE[])) DESC,
+                       e.vec_id) AS rank
+            FROM e CROSS JOIN q)
+        SELECT query_id, vec_id FROM ranked WHERE rank <= 5""").df()
+    exact = {(r.query_id, r.vec_id) for r in truth.itertuples()}
+    got = {(r.query_id, r.vec_id) for r in df.itertuples()}
+    recall = len(exact & got) / max(len(exact), 1)
+    assert recall >= 0.6, recall
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
@@ -753,6 +775,88 @@ def _q_vad_stats(sf_dir: str):
     cols = ["doc_id", "n_segments", "speech_ms", "total_ms",
             "lead_silence_ms"]
     return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_simhash_exact_dups(sf_dir: str):
+    """SimHash hamming-0 pairs over a deterministically augmented
+    corpus — the SQL-oracled half of the SimHash surface: every
+    doc_id % 37 == 0 document is re-emitted as an exact copy
+    (doc_id + 500000) and a WORD-REVERSED copy (doc_id + 600000).
+    Charikar SimHash is a function of the token MULTISET, so both
+    twins (and any naturally multiset-equal background pair) collide
+    at hamming 0 and the 4x16-bit banding finds them with certainty
+    (pigeonhole).  Sketch-then-verify: the hamming-0 CANDIDATES are
+    exact-verified by a distributed token-multiset comparison (the
+    corpus's sign-sum does produce a few genuine 64-bit collisions
+    between different multisets — observed 4 at sf0.01 — which the
+    verify drops, exactly like the MinHash est-Jaccard surface).  The
+    oracle recomputes multiset equality from scratch
+    (regexp_extract_all + sorted count signature) with no knowledge of
+    SimHash — a hash match proves the signature kernel's multiset
+    invariance and the banding's completeness at hamming 0 (a missed
+    twin would be a missing row)."""
+    import hashlib
+
+    from osf_data_validator_tool_ray.checks.dedup import (
+        simhash_near_dup_pairs)
+    from osf_data_validator_tool_ray.functions.text import TOKEN_RE
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        sel = np.flatnonzero(ids % 37 == 0)
+        add_ids, add_texts = [], []
+        for i in sel:
+            txt = texts[i] if isinstance(texts[i], str) else ""
+            add_ids.append(int(ids[i]) + 500_000)
+            add_texts.append(txt)
+            add_ids.append(int(ids[i]) + 600_000)
+            add_texts.append(" ".join(reversed(txt.split())))
+        return pa.table({
+            "doc_id": pa.array(list(ids) + add_ids, type=pa.int64()),
+            "text": pa.array(list(texts) + add_texts, type=pa.string())})
+
+    aug = docs.map_batches(augment, batch_format="pyarrow",
+                           batch_size=None)
+    pairs = simhash_near_dup_pairs(aug, "text", "doc_id",
+                                   max_hamming=0).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    # exact verify: broadcast the candidate-id set, compute a stable
+    # token-multiset signature digest per matching doc inside
+    # map_batches (texts stay distributed), keep signature-equal pairs
+    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    ids_ref = ray.put(cand_ids)
+
+    def sig_stage(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, np.fromiter(wanted, dtype=np.int64))
+        if not m.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.string())})
+        sub = t.filter(pa.array(m))
+        sigs = []
+        for txt in sub.column("text").to_pylist():
+            toks = sorted(
+                __import__("collections").Counter(
+                    TOKEN_RE.findall((txt or "").lower())).items())
+            sigs.append(hashlib.md5(
+                "|".join(f"{k}:{v}" for k, v in toks).encode()).hexdigest())
+        return pa.table({"doc_id": sub.column("doc_id").cast(pa.int64()),
+                         "sig": pa.array(sigs, type=pa.string())})
+
+    sig_df = aug.map_batches(sig_stage, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    sig_map = dict(zip(sig_df["doc_id"], sig_df["sig"]))
+    keep = pairs.apply(
+        lambda r: sig_map.get(r["id_a"]) == sig_map.get(r["id_b"]), axis=1)
+    out = pairs.loc[keep, ["id_a", "id_b"]] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
 
 
 def _q_trim_silence(sf_dir: str):
@@ -1281,6 +1385,29 @@ def _q_grouped_drift(sf_dir: str):
             batch_format="pyarrow", batch_size=None)
     cur = build_profiles_by_group(cur_ds, "l_returnflag", ["l_quantity"])
     v = grouped_drift_violations(cur, base)
+    # self-assert (round-4): the sketch KS for the PLANTED slice ("R",
+    # l_quantity > 25) must sit within histogram resolution of DuckDB's
+    # exact per-slice ECDF KS
+    import duckdb
+    from osf_data_validator_tool_ray.functions.sketches import (
+        ks_statistic)
+    ks_sketch = ks_statistic(cur["R"].numeric["l_quantity"],
+                             base["R"].numeric["l_quantity"])
+    ks_exact = duckdb.sql(f"""
+        WITH v AS (SELECT l_quantity FROM
+                   read_parquet('{sf_dir}/lineitem.parquet')
+                   WHERE l_returnflag = 'R'),
+        g AS (SELECT l_quantity q, COUNT(*) n_all,
+                     SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) n_cur
+              FROM v GROUP BY 1),
+        c AS (SELECT q,
+                     SUM(n_all) OVER (ORDER BY q)::DOUBLE
+                         / (SELECT SUM(n_all) FROM g) AS f_all,
+                     SUM(n_cur) OVER (ORDER BY q)::DOUBLE
+                         / (SELECT SUM(n_cur) FROM g) AS f_cur
+              FROM g)
+        SELECT MAX(ABS(f_all - f_cur)) AS ks FROM c""").df()["ks"].iloc[0]
+    assert abs(ks_sketch - ks_exact) < 0.05, (ks_sketch, float(ks_exact))
     return v.select(["check_id", "key", "column"]).to_pandas() \
         .sort_values(["check_id", "key"]).reset_index(drop=True)
 
@@ -1465,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_verified": _q_embedding_neardup_verified,
         "vad_stats": _q_vad_stats,
         "trim_silence": _q_trim_silence,
+        "simhash_exact_dups": _q_simhash_exact_dups,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -1745,6 +1873,40 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 20 * (5 + i.doc_id % 5) END)::BIGINT
                        AS lead_silence_ms
             FROM ids i LEFT JOIN agg a ON a.doc_id = i.doc_id
+        """,
+        "simhash_exact_dups": """
+            -- token-multiset equality from scratch over the augmented
+            -- corpus (exact copies + word-reversed copies of every
+            -- doc_id % 37 = 0 document): SimHash is multiset-invariant,
+            -- so hamming-0 pairs == same-signature pairs
+            WITH aug AS (
+                SELECT doc_id, COALESCE(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, COALESCE(text, '') FROM documents
+                WHERE doc_id % 37 = 0
+                UNION ALL
+                -- the reversed twin shares the multiset, so its
+                -- signature equals the original's — no string reversal
+                -- needed to replay it
+                SELECT doc_id + 600000, COALESCE(text, '') FROM documents
+                WHERE doc_id % 37 = 0
+            ), toks AS (
+                SELECT a.doc_id, t.tok FROM aug a,
+                LATERAL UNNEST(regexp_extract_all(
+                    lower(a.text), '[a-z0-9]+')) AS t(tok)
+            ), counts AS (
+                SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+            ), sig0 AS (
+                SELECT doc_id, string_agg(tok || ':' || n, '|'
+                                          ORDER BY tok) AS s
+                FROM counts GROUP BY doc_id
+            ), sig AS (
+                SELECT a.doc_id, COALESCE(sig0.s, '') AS s
+                FROM aug a LEFT JOIN sig0 ON a.doc_id = sig0.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.s = b.s AND a.doc_id < b.doc_id
         """,
         "trim_silence": """
             -- replay the trim arithmetic on the planted layout: lo =

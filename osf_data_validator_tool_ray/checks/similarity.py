@@ -137,19 +137,27 @@ def ann_topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 11,
+    probe_hamming: int = 1,
 ) -> pa.Table:
-    """Approximate top-k: probe only rows whose SRP bucket is the query's
-    bucket or differs in one bit (n_planes+1 buckets of ~N/2^n_planes
-    rows each).  Same partial-top-k merge as the brute-force path."""
+    """Approximate top-k: probe only rows whose SRP bucket is within
+    ``probe_hamming`` bits of the query's bucket (the multi-probe LSH
+    recall/cost knob: hamming<=h covers sum_{i<=h} C(n_planes,i)
+    buckets of ~N/2^n_planes rows each).  Same partial-top-k merge as
+    the brute-force path."""
+    from itertools import combinations
+
     q = _normalize(np.asarray(queries, dtype=np.float32))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, q.shape[1])).astype(np.float32)
     qb = srp_bucket_bits(q, planes)
     probe: set[int] = set()
     for b in qb:
-        probe.add(int(b))
-        for bit in range(n_planes):
-            probe.add(int(b) ^ (1 << bit))
+        for h in range(probe_hamming + 1):
+            for bits in combinations(range(n_planes), h):
+                flip = 0
+                for bit in bits:
+                    flip |= 1 << bit
+                probe.add(int(b) ^ flip)
     probe_arr = np.array(sorted(probe), dtype=np.uint32)
 
     planes_ref = ray.put(planes)
