@@ -369,10 +369,9 @@ def _q_ann_topk_lsh(sf_dir: str):
 
 def _q_ann_topk_ivf(sf_dir: str):
     """IVF approximate cosine top-5 (spherical-k-means coarse quantizer,
-    nprobe closest cells, exact rerank).  No SQL oracle (centroid
-    assignment isn't SQL-expressible); recall vs the oracled brute-force
-    result is gated in pytest
-    (tests/test_dedup_similarity.py::test_ann_ivf_recall_vs_bruteforce)."""
+    nprobe closest cells, exact rerank).  No hash oracle (centroid
+    assignment isn't SQL-expressible); recall is gated in pytest AND
+    self-asserted inline against DuckDB's exact top-5 (>= 0.6)."""
     import pyarrow.parquet as pq
     from osf_data_validator_tool_ray.checks.similarity import ann_topk_ivf
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
@@ -383,6 +382,25 @@ def _q_ann_topk_ivf(sf_dir: str):
                        n_centroids=32, nprobe=8)
     df = top.to_pandas()
     df["score"] = df["score"].round(6)
+    # self-assert (round-4, same pattern as ann_topk_lsh): recall@5 vs
+    # DuckDB's exact top-5 must clear the pytest gate's 0.6 bar
+    import duckdb
+    truth = duckdb.sql(f"""
+        WITH e AS (SELECT vec_id, embedding FROM
+                   read_parquet('{sf_dir}/embeddings.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+              WHERE vec_id < 3),
+        ranked AS (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.qe AS DOUBLE[])) DESC,
+                       e.vec_id) AS rank
+            FROM e CROSS JOIN q)
+        SELECT query_id, vec_id FROM ranked WHERE rank <= 5""").df()
+    exact = {(r.query_id, r.vec_id) for r in truth.itertuples()}
+    got = {(r.query_id, r.vec_id) for r in df.itertuples()}
+    assert len(exact & got) / max(len(exact), 1) >= 0.6
     return df[["query_id", "vec_id", "rank", "score"]]
 
 
@@ -477,7 +495,9 @@ def _q_hll_distinct(sf_dir: str):
 
 def _q_heavy_hitters(sf_dir: str):
     """Count-Min heavy hitters: estimated frequency of each event_type
-    (no oracle — overestimate-bounded sketch)."""
+    (no hash oracle — overestimate-bounded sketch).  Self-asserting:
+    every estimate is checked inline to be >= the exact DuckDB count
+    and within 5x the standard eps*N overestimate bound."""
     import pandas as pd
     from osf_data_validator_tool_ray.functions.sketches import CountMin
     ds = _read(sf_dir, "events", ["event_type"])
@@ -494,6 +514,18 @@ def _q_heavy_hitters(sf_dir: str):
             merged.merge(CountMin.from_bytes(s))
     cats = ["click", "view", "purchase", "signup", "error"]
     est = merged.query(pd.Series(cats))
+    # self-assert (round-4): CMS never underestimates, and the
+    # overestimate stays within the standard eps*N bound at 5x margin
+    import duckdb
+    truth = duckdb.sql(
+        f"SELECT event_type, COUNT(*) AS n FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1").df()         .set_index("event_type")["n"]
+    n_total = int(truth.sum())
+    eps = np.e / merged.width
+    for c, e in zip(cats, est):
+        exact = int(truth.get(c, 0))
+        assert e >= exact, (c, int(e), exact)
+        assert e - exact <= 5 * eps * n_total, (c, int(e), exact)
     return pd.DataFrame({"event_type": cats, "est_count": est.astype("int64")})
 
 
