@@ -399,7 +399,7 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_err)
 
 
-def spectral_fingerprint(pcm: np.ndarray, sr: "int | None" = None,
+def spectral_fingerprint(pcm: np.ndarray, sr: int,
                          n_bands: int = 16, frame_len: int = 256,
                          canonical_sr: int = 8000,
                          max_frames: int = 1024,
@@ -438,7 +438,14 @@ def spectral_fingerprint(pcm: np.ndarray, sr: "int | None" = None,
     at ``max_frames`` codes; clips shorter than two frames return an
     empty array."""
     pcm = np.asarray(pcm, dtype=np.float32)
-    if sr is not None and sr != canonical_sr and len(pcm):
+    if sr is None:
+        # sr is REQUIRED: skipping the canonical-rate resample would put
+        # codes on a non-canonical frame grid and silently break the
+        # absolute-time prefix semantics fingerprint_hamming relies on.
+        raise ValueError("spectral_fingerprint requires the clip's sample "
+                         "rate (sr) to place codes on the canonical "
+                         f"{canonical_sr} Hz frame grid")
+    if sr != canonical_sr and len(pcm):
         n_out = int(round(len(pcm) * canonical_sr / sr))
         if n_out == 0:
             return np.zeros(0, dtype=np.uint32)

@@ -247,6 +247,15 @@ def _pairs_rebanded(ids: np.ndarray, sigs: np.ndarray, pair_score, emit,
     # of signature rows and recurse per sub-bucket (terminates: at the
     # full width every sub-bucket is a singleton)
     d = sigs.shape[1]
+    if d == 1:
+        # width-1 signatures (simhash path) can't extend the band —
+        # splitting on the single distinct column would make every
+        # sub-bucket a singleton and emit NOTHING.  Bounded fallback:
+        # pair value-sorted neighbors (n-1 pairs); numerically adjacent
+        # signatures share the longest high-bit prefix, so the
+        # highest-agreement candidates survive and connectivity holds.
+        emit(ids_s[:-1], ids_s[1:], pair_score(sig_s[:-1], sig_s[1:]))
+        return
     cols = min(d, 1 << (_depth + 1))
     sub = sig_s[:, :cols]
     bnd = np.flatnonzero((sub[1:] != sub[:-1]).any(axis=1)) + 1
@@ -552,7 +561,16 @@ def near_dup_clusters(
         between the block's min and max key cannot appear in any other
         block of a globally sorted dataset); rows of the two boundary
         keys spill to the small second pass.  Pure-Arrow so int64 ids
-        never round-trip through float64-with-NaN pandas columns."""
+        never round-trip through float64-with-NaN pandas columns.
+
+        Executor invariants (Ray 2.49): (1) ``sort('key')`` yields
+        globally range-partitioned blocks — REQUIRED for correctness;
+        (2) ``map_batches(batch_size=None)`` passes each sorted block
+        whole — NOT required: min/max are computed from the BATCH
+        itself, so even if a future Ray split a block mid-key, the
+        straddling key would sit at one sub-batch's max and the next's
+        min and both sides spill to the boundary pass.  Only (1) is a
+        hard assumption."""
         empty = pa.table({"flag": pa.array([], type=pa.string()),
                           "key": pa.array([], type=id_type),
                           "node": pa.array([], type=id_type),

@@ -274,89 +274,138 @@ def exact_cosine_for_pairs(
 ) -> "pd.DataFrame":
     """Exact float64 cosine for candidate pairs, computed DISTRIBUTED —
     the embedding mirror of ``dedup.exact_jaccard_for_pairs``
-    (checks/dedup.py): broadcast the candidate-id set once via ray.put,
-    semi-join the corpus inside map_batches (the embedding column never
-    reaches the driver), route each vector to its pair slots with a
-    tagged-union groupby on id, then one cosine per pair in a second
-    small groupby.  ``pairs`` (id_a, id_b, ...) lives on the driver —
-    bounded by the candidate generator's per-bucket caps."""
-    import ray as _ray
-
+    (checks/dedup.py).  The pair SLOT table (key -> pair_id, role) —
+    already driver-bounded by the candidate generator's per-bucket caps
+    — is broadcast ONCE via ray.put; each corpus batch routes its
+    candidate vectors with ONE vectorized hash join (pandas merge — no
+    per-id Python group); the routed (pair_id, role, emb) rows are
+    range-sorted by pair_id and each sorted block scores its complete
+    pair groups with one einsum.  Only (pair_id, cosine) rows plus the
+    <=2 possibly-split boundary pair groups per block travel to the
+    driver — the corpus embedding column as a whole never does.
+    Equal-pair_id rows are contiguous after the sort, so any group NOT
+    touching its block's first/last pair_id is globally complete; the
+    ones that do are passed through raw and finished on the driver."""
     if len(pairs) == 0:
         out = pairs.copy()
         out["cosine"] = pd.Series(dtype="float64")
         return out
-    ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    ids_ref = _ray.put(ids)
-    emb_type = pa.list_(pa.float64())
 
-    def emb_stage(t: pa.Table) -> pa.Table:
-        wanted = _ray.get(ids_ref)          # plasma-cached per worker
-        idvals = t.column(id_col).to_pandas()
-        m = idvals.isin(wanted).to_numpy(dtype=bool)
-        if not m.any():
-            return pa.table({
-                "key": pa.array([], type=t.schema.field(id_col).type),
-                "pair_id": pa.array([], type=pa.int64()),
-                "role": pa.array([], type=pa.int8()),
-                "emb": pa.array([], type=emb_type)})
-        sub = t.filter(pa.array(m))
-        mnorm = _normalize(_batch_matrix(sub, emb_col, dtype=np.float64))
-        n = sub.num_rows
-        return pa.table({"key": sub.column(id_col),
-                         "pair_id": pa.nulls(n, type=pa.int64()),
-                         "role": pa.nulls(n, type=pa.int8()),
-                         "emb": pa.array(list(mnorm), type=emb_type)})
-
-    embs = ds.select_columns([id_col, emb_col]).map_batches(
-        emb_stage, batch_format="pyarrow", batch_size=None)
-
-    key_type = None
-    for name, typ in zip(ds.schema().names, ds.schema().types):
-        if name == id_col:
-            key_type = typ if isinstance(typ, pa.DataType) else None
-    pair_rows = pd.DataFrame({
+    n_pairs = len(pairs)
+    slots = pd.DataFrame({
         "key": pd.concat([pairs["id_a"], pairs["id_b"]],
                          ignore_index=True),
         "pair_id": np.concatenate(
-            [np.arange(len(pairs), dtype=np.int64)] * 2),
-        "role": np.concatenate([np.zeros(len(pairs), dtype=np.int8),
-                                np.ones(len(pairs), dtype=np.int8)]),
+            [np.arange(n_pairs, dtype=np.int64)] * 2),
+        "role": np.concatenate([np.zeros(n_pairs, dtype=np.int8),
+                                np.ones(n_pairs, dtype=np.int8)]),
     })
-    pr = pa.Table.from_pandas(pair_rows, preserve_index=False)
-    if key_type is not None:
-        pr = pr.set_column(0, "key", pr.column("key").cast(key_type))
-    pr = pr.append_column("emb", pa.nulls(pr.num_rows, type=emb_type))
-    pair_ds = ray.data.from_arrow(pr.replace_schema_metadata(None))
+    slots_ref = ray.put(slots)
+    emb_type = pa.list_(pa.float64())
+    empty_routed = pa.table({
+        "pair_id": pa.array([], type=pa.int64()),
+        "role": pa.array([], type=pa.int8()),
+        "emb": pa.array([], type=emb_type)})
 
-    def route(g: pd.DataFrame) -> pd.DataFrame:
-        vec_rows = g[g["emb"].notna()]
-        slots = g[g["pair_id"].notna()]
-        if vec_rows.empty or slots.empty:
-            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
-                                 "role": pd.Series(dtype="int8"),
-                                 "emb": pd.Series(dtype="object")})
-        v = vec_rows["emb"].iloc[0]
-        return pd.DataFrame({"pair_id": slots["pair_id"].astype("int64"),
-                             "role": slots["role"].astype("int8"),
-                             "emb": [v] * len(slots)})
+    def route(t: pa.Table) -> pa.Table:
+        sl = ray.get(slots_ref)             # plasma-cached per worker
+        bdf = pd.DataFrame({
+            "key": t.column(id_col).to_pandas(),
+            "_row": np.arange(t.num_rows, dtype=np.int64)})
+        hit = bdf.merge(sl, on="key", how="inner")
+        if hit.empty:
+            return empty_routed
+        rows = hit["_row"].to_numpy()
+        m = _normalize(_batch_matrix(
+            t.take(pa.array(rows)), emb_col, dtype=np.float64))
+        d = m.shape[1]
+        offs = pa.array((np.arange(len(m) + 1) * d).astype(np.int32))
+        emb = pa.ListArray.from_arrays(
+            offs, pa.array(m.ravel(), type=pa.float64()))
+        return pa.table({
+            "pair_id": pa.array(hit["pair_id"].to_numpy(),
+                                type=pa.int64()),
+            "role": pa.array(hit["role"].to_numpy(), type=pa.int8()),
+            "emb": emb})
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        a = np.asarray(g["emb"].iloc[0], dtype=np.float64)
-        b = np.asarray(g["emb"].iloc[1], dtype=np.float64)
-        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
-                             "cosine": [float(a @ b)]})
+    routed = ds.select_columns([id_col, emb_col]).map_batches(
+        route, batch_format="pyarrow", batch_size=None)
 
-    routed = embs.union(pair_ds).groupby("key").map_groups(
-        route, batch_format="pandas")
-    scored = routed.groupby("pair_id").map_groups(
-        score, batch_format="pandas").to_pandas()
+    def score_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            "pair_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+            "role": pa.array([], type=pa.int8()),
+            "emb": pa.array([], type=emb_type)})
+        if n == 0:
+            return empty
+        pid0 = t.column("pair_id").to_numpy(zero_copy_only=False)
+        role0 = t.column("role").to_numpy(zero_copy_only=False)
+        order = np.lexsort((role0, pid0))
+        pid, role = pid0[order], role0[order]
+        arr = t.column("emb")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(n, -1)[order]
+        # duplicate corpus ids -> duplicate (pair_id, role) rows; keep one
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (pid[1:] != pid[:-1]) | (role[1:] != role[:-1])
+        pid, role, m = pid[keep], role[keep], m[keep]
+        n = len(pid)
+        change = np.flatnonzero(pid[1:] != pid[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        sizes = ends - starts
+        # groups touching the block's first/last pair_id may continue in
+        # a neighboring sorted block — defer them to the driver
+        edge = (pid[starts] == pid[0]) | (pid[starts] == pid[-1])
+        complete = (sizes == 2) & ~edge
+        i0 = starts[complete]
+        cos = np.einsum("ij,ij->i", m[i0], m[i0 + 1])
+        n_s = len(i0)
+        t1 = pa.table({
+            "pair_id": pa.array(pid[i0], type=pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+            "role": pa.nulls(n_s, pa.int8()),
+            "emb": pa.nulls(n_s, emb_type)})
+        if not edge.any():
+            return t1
+        bidx = np.concatenate([np.arange(s, e) for s, e in
+                               zip(starts[edge], ends[edge])])
+        me = m[bidx]
+        n_e, d = me.shape
+        offs = pa.array((np.arange(n_e + 1) * d).astype(np.int32))
+        emb_arr = pa.ListArray.from_arrays(
+            offs, pa.array(me.ravel(), type=pa.float64()))
+        t2 = pa.table({
+            "pair_id": pa.array(pid[bidx], type=pa.int64()),
+            "cosine": pa.nulls(n_e, pa.float64()),
+            "role": pa.array(role[bidx].astype(np.int8), type=pa.int8()),
+            "emb": emb_arr})
+        return pa.concat_tables([t1, t2])
+
+    scored = routed.sort("pair_id").map_batches(
+        score_block, batch_format="pyarrow", batch_size=None).to_pandas()
+
+    done = scored[scored["cosine"].notna()][["pair_id", "cosine"]]
+    rest = scored[scored["cosine"].isna() & scored["role"].notna()]
+    extra = []
+    if len(rest):
+        rest = rest.drop_duplicates(subset=["pair_id", "role"])
+        for pv, g in rest.groupby("pair_id"):      # <=2 groups per block
+            if len(g) == 2:
+                a = np.asarray(g["emb"].iloc[0], dtype=np.float64)
+                b = np.asarray(g["emb"].iloc[1], dtype=np.float64)
+                extra.append((int(pv), float(a @ b)))
+    if extra:
+        done = pd.concat(
+            [done, pd.DataFrame(extra, columns=["pair_id", "cosine"])],
+            ignore_index=True)
     out = pairs.reset_index(drop=True).copy()
-    out["pair_id"] = np.arange(len(out), dtype=np.int64)
-    return out.merge(scored, on="pair_id", how="left") \
+    out["pair_id"] = np.arange(n_pairs, dtype=np.int64)
+    return out.merge(done, on="pair_id", how="left") \
         .drop(columns=["pair_id"])
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import glob
 import os
+import contextlib
 import uuid
 from typing import Iterable
 
@@ -126,6 +127,7 @@ class _QuarantineSink(ray.data.Datasink):
     def write(self, blocks, ctx) -> dict:
         key_arr, bloom = self._splitter_state()
         n_clean = n_bad = 0
+        published = {self._clean_dir: set(), self._quarantine_dir: set()}
         for block_idx, block in enumerate(blocks):
             if not isinstance(block, pa.Table):
                 block = pa.Table.from_pandas(block, preserve_index=False)
@@ -136,10 +138,24 @@ class _QuarantineSink(ray.data.Datasink):
             part = f"{ctx.task_idx:06d}-{block_idx:04d}"
             if clean.num_rows:
                 self._publish(clean, self._clean_dir, part)
+                published[self._clean_dir].add(part)
             if bad.num_rows:
                 self._publish(bad, self._quarantine_dir, part)
+                published[self._quarantine_dir].add(part)
             n_clean += clean.num_rows
             n_bad += bad.num_rows
+        # a RETRIED task may replay with different block partitioning;
+        # orphan part-{task}-{block} files from the first attempt would
+        # survive and trip the footer cross-check downstream — remove any
+        # part for this task_idx that this (final, authoritative) attempt
+        # did not publish
+        prefix = f"part-{ctx.task_idx:06d}-"
+        for out_dir, keep in published.items():
+            for f in glob.glob(os.path.join(out_dir, f"{prefix}*.parquet")):
+                part = os.path.basename(f)[len("part-"):-len(".parquet")]
+                if part not in keep:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(f)
         return {"n_clean": n_clean, "n_quarantined": n_bad}
 
     def on_write_complete(self, write_result) -> None:
