@@ -1580,7 +1580,7 @@ def _q_bpe_token_counts(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    q = {
         "facet_bounds": _q_facet_bounds,
         "enum_domain": _q_enum_domain,
         "card_max": _q_card_max,
@@ -1653,6 +1653,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "audio_near_dup": _q_audio_near_dup,
     }
+    # The round driver's correctness artifact caps at 50 entries taken
+    # in dict order; list every DuckDB-oracled query FIRST (stable
+    # within each class) so adding new rows-only surfaces can never
+    # rotate a hash-verified query out of the artifact.
+    oracled = set(oracle_sql())
+    return {k: q[k] for k in sorted(q, key=lambda k: k not in oracled)}
 
 
 def oracle_sql() -> dict[str, str]:
