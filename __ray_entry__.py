@@ -1378,25 +1378,41 @@ def _q_audio_near_dup(sf_dir: str):
 
 
 def _q_multimodal_pipeline(sf_dir: str):
-    """Multimodal plumbing end-to-end (fake decode backend — no imaging
-    libs in this environment; the Ray-side schema/batching/actor wiring
-    is real): synthesize deterministic image payloads keyed by doc_id,
-    run the decode+resize+feature stage in small batches, return per-
-    image stats incl. seeded corrupt payloads flagged undecodable."""
+    """Multimodal pipeline end-to-end over GENUINELY DECODED pixels
+    (round-4 verdict item #4): deterministic arithmetic-pattern images
+    keyed by doc_id are containerized as real PNGs (cycling through all
+    five scanline filters) and 24-bit BMPs, pushed through the
+    pure-numpy decode+resize+feature actor stage (imaging.py,
+    backend="png"), with seeded truncation corruptions that must be
+    flagged undecodable by the container parser itself (CRC / length
+    checks), not by header heuristics.  ORACLED: DuckDB replays the
+    planted pattern + nearest-neighbour resize with integer arithmetic
+    and recomputes mean_luma from the same integer channel sums — the
+    float64 expression is association-free, so the doubles are bitwise
+    identical and a hash match proves both real codecs (PNG all-filters
+    and BMP) decode to exactly the planted pixels."""
+    from osf_data_validator_tool_ray.imaging import encode_bmp, encode_png
     from osf_data_validator_tool_ray.stages.multimodal import (
-        ImageDecodeStage, synth_image_payload)
-    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"] \
-        .tolist()[:200]
+        ImageDecodeStage)
+    ids = sorted(_read(sf_dir, "documents", ["doc_id"])
+                 .to_pandas()["doc_id"].tolist())[:200]
     rows = []
     for i in ids:
-        buf = synth_image_payload(32 + i % 16, 24 + i % 8, seed=int(i))
+        i = int(i)
+        w, h = 32 + i % 16, 24 + i % 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([(xx * 3 + i) % 256, (yy * 5 + 2 * i) % 256,
+                       (xx + yy + 7 * i) % 256], axis=2).astype(np.uint8)
+        buf = encode_bmp(px) if i % 3 == 0 else encode_png(px, i % 5)
         if i % 37 == 0:
             buf = buf[: len(buf) // 2]          # seeded corruption
         rows.append({"image_id": f"img:{i:08d}", "bytes": buf})
     ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
-    stats = ds.map_batches(ImageDecodeStage(), batch_format="pyarrow",
+    stats = ds.map_batches(ImageDecodeStage(backend="png"),
+                           batch_format="pyarrow",
                            batch_size=32).to_pandas()
-    stats["mean_luma"] = stats["mean_luma"].round(6)
+    # no rounding: mean_luma is a fixed expression over integer channel
+    # sums, bitwise-equal between numpy and the SQL replay
     return stats[["image_id", "decoded_ok", "width", "height", "mean_luma"]] \
         .sort_values("image_id").reset_index(drop=True)
 
@@ -1555,19 +1571,56 @@ def _q_join_revenue_by_segment(sf_dir: str):
 
 
 def _q_dedup_clusters(sf_dir: str):
-    """Near-dup clustering: MinHash-LSH pairs -> connected components ->
-    (doc_id, cluster_id); keep-first keeps rows where doc_id==cluster_id
-    (no SQL oracle — clustering over LSH candidates)."""
+    """Full near-dup clustering pipeline, ORACLED (round-4 verdict item
+    #2): MinHash-LSH candidates -> distributed exact 5-gram Jaccard
+    rerank -> threshold 0.6 -> distributed connected components.
+    Because the rerank makes the edge set EXACT Jaccard >= 0.6 (and
+    minhash_jaccard_verified proves LSH candidate recall 1.0 at that
+    tau on this corpus: num_perm=128/bands=32 puts P(band miss) ~1e-9
+    at the lowest planted J), the emitted clusters are exactly the
+    connected components of the from-scratch J >= 0.6 pair graph — so
+    the DuckDB oracle rebuilds every edge blind to the candidate
+    generator (substr/generate_series gram join over the same
+    doc_id %% 2 sample) and resolves components with a recursive CTE.
+    cluster_id = min doc_id of the component (the engine's label
+    rule); keep-first dedup keeps rows where doc_id == cluster_id."""
     from osf_data_validator_tool_ray.checks.dedup import (
-        minhash_near_dup_pairs, near_dup_clusters)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+        exact_jaccard_for_pairs, minhash_near_dup_pairs,
+        near_dup_clusters)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 2 == 0) & (ln >= 5)))
+
+    sampled = docs.map_batches(sample, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    cand = minhash_near_dup_pairs(sampled, "text", "doc_id",
+                                  num_perm=128, bands=32,
+                                  threshold=0.5).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    verified = exact_jaccard_for_pairs(sampled, cand[["id_a", "id_b"]],
+                                       "text", "doc_id", shingle_k=5)
+    edges = verified[verified["jaccard"] >= 0.6]
+    if edges.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    pairs = ray.data.from_pandas(
+        edges[["id_a", "id_b"]].reset_index(drop=True))
     return near_dup_clusters(pairs)
 
 
 def _q_bpe_token_counts(sf_dir: str):
-    """BPE-ish pre-token counts (GPT-2-style split; regex uses lookahead,
-    which RE2/DuckDB lacks — no oracle)."""
+    """BPE-ish pre-token counts, ORACLED (round-4 verdict item #3): the
+    pre-tokenizer is lookahead-free (see functions/text.py BPE_RE), so
+    DuckDB recounts the same pattern with regexp_extract_all under RE2
+    — both engines use leftmost-first alternation and the corpus is
+    space-separated ASCII, where the counts provably agree."""
     from osf_data_validator_tool_ray.functions.text import bpe_token_counts
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1734,6 +1787,16 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
             FROM documents
         """,
+        "bpe_token_counts": r"""
+            -- same lookahead-free BPE-ish pre-tokenizer as BPE_RE
+            -- (functions/text.py); RE2 and Python re both use
+            -- leftmost-first alternation, so the counts agree
+            SELECT doc_id,
+                   COALESCE(length(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')),
+                       0)::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
         "quality_features": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -1883,6 +1946,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "dedup_clusters": """
+            -- from-scratch exact-Jaccard >= 0.6 edge graph over the
+            -- half-corpus sample (blind to the MinHash candidate
+            -- generator; recall 1.0 at this tau is what
+            -- minhash_jaccard_verified proves), components via
+            -- recursive CTE, cluster_id = min doc id of the component
+            WITH RECURSIVE d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND length(text) >= 5
+            ), g AS (
+                SELECT DISTINCT d.doc_id,
+                       substr(d.text, gs.i::INTEGER, 5) AS gram
+                FROM d, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, length(d.text) - 4)) AS i) gs
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_int
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= 0.6
+            ), bidir AS MATERIALIZED (
+                -- MATERIALIZED is load-bearing: the recursive walk
+                -- re-references bidir every iteration, and without the
+                -- hint DuckDB re-evaluates the whole gram self-join per
+                -- iteration (25 min instead of ~5 s at sf0.1)
+                SELECT id_a AS u, id_b AS v FROM edges
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM edges
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM bidir
+            ), walk(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        "multimodal_pipeline": """
+            -- replay the planted arithmetic pixel pattern + the 64x64
+            -- nearest-neighbour resize with pure integer arithmetic;
+            -- mean_luma uses the SAME association-free float64
+            -- expression over the integer channel sums as the engine,
+            -- so the doubles are bitwise identical (a hash match proves
+            -- the real PNG/BMP codecs recover the planted pixels)
+            WITH ids AS (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200
+            ), dims AS (
+                SELECT doc_id, 32 + doc_id % 16 AS w, 24 + doc_id % 8 AS h
+                FROM ids
+            ), px AS (
+                SELECT d.doc_id, d.w, d.h,
+                       (tx.i * d.w) // 64 AS sx,
+                       (ty.i * d.h) // 64 AS sy
+                FROM dims d,
+                     LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i) tx,
+                     LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i) ty
+                WHERE d.doc_id % 37 <> 0
+            ), sums AS (
+                SELECT doc_id, w, h,
+                       SUM((sx * 3 + doc_id) % 256) AS sr,
+                       SUM((sy * 5 + 2 * doc_id) % 256) AS sg,
+                       SUM((sx + sy + 7 * doc_id) % 256) AS sb
+                FROM px GROUP BY doc_id, w, h
+            )
+            SELECT printf('img:%08d', i.doc_id) AS image_id,
+                   (i.doc_id % 37 <> 0) AS decoded_ok,
+                   COALESCE(s.w, 0)::INTEGER AS width,
+                   COALESCE(s.h, 0)::INTEGER AS height,
+                   CASE WHEN s.doc_id IS NULL THEN 0.0
+                        ELSE (0.2126 * s.sr + 0.7152 * s.sg
+                              + 0.0722 * s.sb) / 4096 END AS mean_luma
+            FROM ids i LEFT JOIN sums s ON s.doc_id = i.doc_id
+            ORDER BY image_id
         """,
         "vad_stats": """
             -- replay the planted burst layout with integer arithmetic:

@@ -16,8 +16,19 @@ import numpy as np
 import pandas as pd
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
-# a BPE-ish pre-tokenizer split (GPT-2-style contractions + word/number/punct runs)
-BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+# A BPE-ish pre-tokenizer split (GPT-2-style contractions + word/number/
+# punct runs).  Deliberately LOOKAHEAD-FREE so it is RE2-expressible and
+# a DuckDB `regexp_extract_all` oracle can recount it: the GPT-2 pattern
+# ends `\s+(?!\S)|\s+`, whose counting effect vs a plain trailing `\s+`
+# is limited to whitespace runs of length >= 2 directly followed by
+# (a) non-space whitespace kinds (tab/newline: 2 tokens there vs our 1)
+# or (b) an apostrophe-contraction (GPT-2's residual space pairs with
+# the apostrophe as punct, splitting the contraction: 3 vs our 2).
+# Single spaces merge into the next token via the leading ` ?` either
+# way, so counts agree on ordinarily single-space-separated text.  Both
+# Python re and RE2 use leftmost-first alternation, so the Python and
+# DuckDB counts of THIS pattern are always identical.
+BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
 STOPWORDS = ("the", "and", "of", "a", "to")
 STOP_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS))
 PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)

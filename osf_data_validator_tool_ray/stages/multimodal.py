@@ -3,16 +3,20 @@
 Audio is this engine's native modality (real codecs in ..audio).  Image
 and video processing follow the SAME Ray-side design — opaque ``binary``
 column + typed metadata columns, actor-pool ``map_batches`` stages with
-small batches — but the sandbox has no imaging libraries (no PIL/ffmpeg/
-cv2), so the pixel-level decode is STUBBED:
+small batches.  Image decode backends:
 
-  * ``backend="fake"`` (default): a deterministic fake decoder — parses a
-    tiny self-describing header (see synth_image_payload) and produces
-    seeded pseudo-pixels.  Everything around it (schema, batch sizing,
-    actor signature, output layout, violation emission) is real and
-    tested; swapping in PIL/pyav is a one-method change.
+  * ``backend="png"``: a REAL pixel decoder — pure-numpy PNG (all five
+    scanline filters, CRC-verified, stdlib zlib) + uncompressed 24-bit
+    BMP, magic-dispatched (see ``..imaging``).  No external imaging
+    library needed; corruption checks run against genuinely decoded
+    pixels.
+  * ``backend="fake"`` (default for legacy callers): a deterministic
+    fake decoder — parses a tiny self-describing header (see
+    synth_image_payload) and produces seeded pseudo-pixels; kept for
+    plumbing tests whose payloads predate the real codec.
   * ``backend="pil"`` / ``"ffmpeg"``: raise NotImplementedError with the
-    dependency name — the clearly-marked integration point.
+    dependency name — the swap point for a full-format production
+    decoder (JPEG/WebP/video), which the sandbox cannot host.
 
 Expected metadata schema for an image table:
     (image_id: string, bytes: binary, width: int32, height: int32,
@@ -63,6 +67,9 @@ class ImageDecodeStage:
     def __init__(self, backend: str = "fake", resize_to: tuple[int, int] = (64, 64)):
         if backend == "fake":
             self._decode = self._decode_fake
+        elif backend == "png":
+            from ..imaging import decode_image
+            self._decode = decode_image
         elif backend in ("pil", "ffmpeg", "cv2"):
             raise NotImplementedError(
                 f"backend {backend!r} requires an imaging library not present "
@@ -100,14 +107,19 @@ class ImageDecodeStage:
                 continue
             ok[i] = True
             ws[i], hs[i] = w, h
-            # nearest-neighbour "resize" + luma on the fake pixels: real
-            # per-pixel math so batch/memory behaviour matches a real lib
+            # nearest-neighbour resize + mean luma.  The mean is computed
+            # from INTEGER per-channel sums (w*sum_r + ... on int64) so
+            # the float64 result is a fixed, association-free expression —
+            # bitwise-reproducible by any engine that replays the same
+            # pixels (the DuckDB oracle does, with integer arithmetic).
             ty, tx = self.resize_to
             yi = (np.arange(ty) * h // ty)[:, None]
             xi = (np.arange(tx) * w // tx)[None, :]
             small = px[yi, xi]
-            luma[i] = float((0.2126 * small[..., 0] + 0.7152 * small[..., 1]
-                             + 0.0722 * small[..., 2]).mean())
+            sr = int(small[..., 0].sum(dtype=np.int64))
+            sg = int(small[..., 1].sum(dtype=np.int64))
+            sb = int(small[..., 2].sum(dtype=np.int64))
+            luma[i] = (0.2126 * sr + 0.7152 * sg + 0.0722 * sb) / (ty * tx)
         return pa.table({
             "image_id": pa.array(ids, type=pa.string()),
             "decoded_ok": pa.array(ok),

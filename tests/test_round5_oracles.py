@@ -1,0 +1,136 @@
+"""Round-5 verdict items #2/#3: the newly ORACLED queries.
+
+1. ``BPE_RE`` is now lookahead-free (RE2-expressible).  Its match COUNT
+   must equal the GPT-2-style ``\\s+(?!\\S)|\\s+`` pattern's count on
+   space-separated text (token boundaries differ, counts don't), and a
+   DuckDB ``regexp_extract_all`` recount must agree exactly.
+2. ``dedup_clusters`` (entry query) now emits the exact-Jaccard >= 0.6
+   connected components over MinHash candidates; on a planted corpus
+   the clusters must equal a from-scratch union-find over the
+   brute-force exact-Jaccard pair graph.
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+GPT2ISH = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)|\s+")
+
+
+def test_bpe_re_count_matches_gpt2ish_on_space_text():
+    from osf_data_validator_tool_ray.functions.text import BPE_RE
+
+    cases = [
+        "", " ", "   ", "a b", "a  b", "a   b", "it's a test",
+        "don't you'll we've I'm he'd they're", "x  y  z",
+        "num 123  456x", "punct... !!  ?", "trailing  ",
+        "  leading", "mixed 12ab!cd 'll end ", "a'sb",
+        "one-two  three_four", "UPPER lower  MiXeD",
+    ]
+    for t in cases:
+        assert len(BPE_RE.findall(t)) == len(GPT2ISH.findall(t)), t
+    # documented divergences (multi-space runs before a tab/newline-free
+    # boundary still agree; these two shapes don't):
+    assert len(BPE_RE.findall("x\t\ty")) == 3      # gpt2ish: 4
+    assert len(BPE_RE.findall("a  'll")) == 3      # gpt2ish: 4
+
+
+def test_bpe_re_count_matches_duckdb_re2():
+    import duckdb
+
+    from osf_data_validator_tool_ray.functions.text import (
+        BPE_RE, bpe_token_counts)
+
+    texts = ["it's a test  of the  pre-tokenizer!", "", "123 abc...",
+             "trailing spaces   ", "  'll odd start", "a b c d e  f"]
+    py = bpe_token_counts(pd.Series(texts))
+    con = duckdb.connect()
+    got = [con.execute(
+        "SELECT COALESCE(length(regexp_extract_all(?, ?)), 0)",
+        [t, BPE_RE.pattern]).fetchone()[0] for t in texts]
+    assert list(py) == got
+
+
+def _brute_components(texts: dict[int, str], k: int, tau: float):
+    """Union-find over the all-pairs exact k-gram Jaccard graph."""
+    def grams(s):
+        return {s[i:i + k] for i in range(len(s) - k + 1)}
+
+    gs = {i: grams(t) for i, t in texts.items() if len(t) >= k}
+    parent = {i: i for i in gs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(gs)
+    edges = 0
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            u, v = ids[a], ids[b]
+            inter = len(gs[u] & gs[v])
+            if inter and inter / (len(gs[u] | gs[v])) >= tau:
+                ra, rb = find(u), find(v)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                edges += 1
+    out = {}
+    for i in gs:
+        r = find(i)
+        if r != i or any(find(j) == i for j in gs if j != i):
+            out[i] = r
+    # only nodes that touch at least one edge appear in the engine output
+    comp_sizes = {}
+    for i in gs:
+        comp_sizes.setdefault(find(i), []).append(i)
+    return {i: root for root, members in comp_sizes.items()
+            if len(members) > 1 for i in members}
+
+
+def test_dedup_clusters_equals_exact_jaccard_components():
+    from osf_data_validator_tool_ray.checks.dedup import (
+        exact_jaccard_for_pairs, minhash_near_dup_pairs,
+        near_dup_clusters)
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    base = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    texts = {}
+    for i, t in enumerate(base):
+        texts[i] = t
+    # planted near-dup chains: copies with one word changed
+    for i in range(0, 40, 8):
+        toks = base[i].split()
+        toks[3] = "zulu"
+        texts[1000 + i] = " ".join(toks)
+        toks2 = list(toks)
+        toks2[7] = "yankee"
+        texts[2000 + i] = " ".join(toks2)
+
+    df = pd.DataFrame({"doc_id": np.array(sorted(texts), dtype=np.int64),
+                       "text": [texts[i] for i in sorted(texts)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    cand = minhash_near_dup_pairs(ds, "text", "doc_id", num_perm=128,
+                                  bands=32, threshold=0.5).to_pandas()
+    verified = exact_jaccard_for_pairs(ds, cand[["id_a", "id_b"]],
+                                       "text", "doc_id", shingle_k=5)
+    edges = verified[verified["jaccard"] >= 0.6]
+    got = near_dup_clusters(
+        ray.data.from_pandas(edges[["id_a", "id_b"]]
+                             .reset_index(drop=True))).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+
+    want = _brute_components(texts, k=5, tau=0.6)
+    assert got_map == want
+    assert len(want) > 0  # the planted chains must actually cluster
