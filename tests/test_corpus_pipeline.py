@@ -99,3 +99,53 @@ def test_curate_corpus_sampling_deterministic():
     b = curate_corpus(ray.data.from_pandas(df).repartition(5),
                       sample_permille=500)["docs"].to_pandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_curate_corpus_checkpoint_resume(tmp_path):
+    """Kill-and-resume (round-4 verdict item #6): finished stages load
+    from their manifests instead of recomputing.  Proven by resuming
+    against a POISONED input dataset — a resumed run that touched the
+    raw input or re-ran a finished stage would see the poison."""
+    import json
+    import os
+
+    ck = str(tmp_path / "ck")
+    df = _corpus()
+    r1 = curate_corpus(ray.data.from_pandas(df).repartition(3),
+                       near_dup_threshold=0.6, checkpoint_dir=ck)
+    out1 = r1["docs"].to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    poison = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [9999], "text": ["poison " * 30]}))
+
+    # full resume: every stage recorded -> identical output + stats,
+    # and no record is rewritten (timestamps unchanged)
+    rec_dir = os.path.join(ck, "records")
+    ts_before = {f: json.load(open(os.path.join(rec_dir, f)))["ts"]
+                 for f in os.listdir(rec_dir)}
+    r2 = curate_corpus(poison, near_dup_threshold=0.6, checkpoint_dir=ck)
+    out2 = r2["docs"].to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out2.equals(out1)
+    assert r2["stats"] == r1["stats"]
+    ts_after = {f: json.load(open(os.path.join(rec_dir, f)))["ts"]
+                for f in os.listdir(rec_dir)}
+    assert ts_after == ts_before
+
+    # partial resume: drop the records of the two downstream stages —
+    # they recompute FROM THE exact-unique ARTIFACT (not the poisoned
+    # input), so the output is still identical
+    for name in ("stage-clusters", "stage-curated"):
+        os.remove(os.path.join(rec_dir, f"{name}.json"))
+    r3 = curate_corpus(poison, near_dup_threshold=0.6, checkpoint_dir=ck)
+    out3 = r3["docs"].to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out3.equals(out1)
+    ts_final = {f: json.load(open(os.path.join(rec_dir, f)))["ts"]
+                for f in os.listdir(rec_dir)}
+    # upstream untouched, downstream re-recorded
+    assert ts_final["stage-cleaned.json"] == ts_before["stage-cleaned.json"]
+    assert ts_final["stage-exact_unique.json"] == \
+        ts_before["stage-exact_unique.json"]
+    assert ts_final["stage-clusters.json"] > ts_before["stage-clusters.json"]
