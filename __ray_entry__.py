@@ -471,12 +471,36 @@ def _q_ann_topk_ivf(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
-    """Embedding near-dup pairs (SRP-LSH bucketed; no SQL oracle)."""
+    """Embedding near-dup pairs (SRP-LSH bucketed).  No hash oracle (the
+    candidate SET depends on the random-projection buckets; recall is
+    proven by the oracled companion embedding_neardup_verified), but
+    SELF-ASSERTING soundness: every emitted pair's cosine is recomputed
+    on the driver in float64 from the raw table and must match the
+    reported score and clear tau."""
+    import pyarrow.parquet as pq
     from osf_data_validator_tool_ray.checks.similarity import embedding_near_dup_pairs
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # random embeddings have no true near-dups; tau=0.3 with few planes
     # surfaces the top similar pairs so the pipeline output is non-trivial
-    return embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.3, n_planes=4)
+    out = embedding_near_dup_pairs(ds, "embedding", "vec_id", tau=0.3,
+                                   n_planes=4)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    if len(df):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        pos = {int(v): i for i, v in
+               enumerate(t.column("vec_id").to_pylist())}
+        ia = np.array([pos[int(v)] for v in df["id_a"]])
+        ib = np.array([pos[int(v)] for v in df["id_b"]])
+        want = np.einsum("ij,ij->i", m[ia], m[ib])
+        got = df["cosine"].to_numpy(dtype=np.float64)
+        # 5e-5 tolerance: the single-table path reranks in float32
+        assert np.allclose(got, want, atol=5e-5), "cosine mismatch"
+        assert (want >= 0.3 - 5e-5).all(), "pair below tau emitted"
+    return df
 
 
 def _q_windowed_events(sf_dir: str):

@@ -85,10 +85,18 @@ def _as_str_series(values) -> pd.Series:
     return pd.Series(values, dtype="object")
 
 
+def _all_str(s: pd.Series) -> bool:
+    """True iff every non-null entry is a str — decided by ONE C pass
+    (pandas infer_dtype), not a per-value Python map.  Columns arriving
+    from Arrow string arrays (the workhorse case) hit this fast path."""
+    kind = pd.api.types.infer_dtype(s, skipna=True)
+    return kind in ("string", "empty", "unicode")
+
+
 def _only_strings(s: pd.Series) -> pd.Series:
     """Mask non-str entries to NaN so .str accessors never crash on mixed
     object columns (non-strings are lexically invalid by definition)."""
-    if s.dtype == object and len(s) and not s.map(lambda v: isinstance(v, str) or v is None).all():
+    if s.dtype == object and len(s) and not _all_str(s):
         return s.where(s.map(lambda v: isinstance(v, str)))
     return s
 
@@ -108,14 +116,36 @@ def _int_family(values, lo, hi) -> np.ndarray:
     ok = s.str.match(RE_INTEGER, na=False)
     if lo is None and hi is None:
         return ok.to_numpy(dtype=bool)
-    # exact arbitrary-precision bounds check (floats would round 2^64 onto
-    # the unsignedLong max); only runs on the regex-matched subset
-    nums = s.where(ok).map(lambda x: int(x) if isinstance(x, str) else None)
-    if lo is not None:
-        ok = ok & nums.map(lambda v: v is not None and v >= lo)
-    if hi is not None:
-        ok = ok & nums.map(lambda v: v is not None and v <= hi)
-    return ok.fillna(False).astype(bool).to_numpy(dtype=bool)
+    okn = ok.to_numpy(dtype=bool)
+    if not okn.any():
+        return okn
+    sub = s.where(ok)
+    # Fast path: lexicals of <= 15 chars are < 10^15 < 2^53 in absolute
+    # value, so a float64 parse is EXACT and the bounds compare with the
+    # _INT_BOUNDS constants (all either <= 2^31 exactly-representable or
+    # >= 2^63-ish, far above any 15-digit value) is exact too — one
+    # vectorized to_numeric instead of a per-value Python int().
+    lens = sub.str.len()
+    short = ((lens <= 15).fillna(False) & ok).to_numpy(dtype=bool)
+    out = okn.copy()
+    if short.any():
+        vals = pd.to_numeric(
+            sub.where(pd.Series(short, index=sub.index)),
+            errors="coerce").to_numpy(dtype=np.float64)
+        good = np.ones(len(s), dtype=bool)
+        if lo is not None:
+            good &= vals >= lo
+        if hi is not None:
+            good &= vals <= hi
+        out &= np.where(short, good, True)
+    # Slow path (rare: 16+ chars, e.g. near the long/unsignedLong
+    # bounds): exact arbitrary-precision Python ints — floats would
+    # round 2^64 onto the unsignedLong max.
+    long_mask = okn & ~short
+    for i in np.flatnonzero(long_mask):
+        v = int(s.iloc[i])
+        out[i] = ((lo is None or v >= lo) and (hi is None or v <= hi))
+    return out
 
 
 def _valid_string(values) -> np.ndarray:
@@ -125,6 +155,8 @@ def _valid_string(values) -> np.ndarray:
     strings are guaranteed valid UTF-8)."""
     s = _as_str_series(values)
     if s.dtype == object:
+        if _all_str(s):
+            return s.notna().to_numpy(dtype=bool)
         return s.map(lambda v: isinstance(v, str)).to_numpy(dtype=bool)
     return s.notna().to_numpy(dtype=bool)
 
@@ -268,8 +300,12 @@ def facet_violations(values, facets: Facets) -> dict[str, np.ndarray]:
     if facets.dtype in VALIDATORS and not is_bytes and s.dtype == object and notnull.any():
         if facets.dtype not in ("string",):
             valid = VALIDATORS[facets.dtype](s)
-            strish = s.map(lambda v: isinstance(v, str))
-            mask = (~valid) & notnull & strish.to_numpy(dtype=bool)
+            if _all_str(s):
+                strish = notnull
+            else:
+                strish = s.map(lambda v: isinstance(v, str)) \
+                    .to_numpy(dtype=bool)
+            mask = (~valid) & notnull & strish
             if mask.any():
                 out["datatype"] = mask
     return out
