@@ -36,6 +36,78 @@ def _stable_empty(ds: "ray.data.Dataset", cols: list[str], dtypes: list) -> Any:
     return df[cols]
 
 
+def _gram_edges_cte(table: str, where: str, tau: float) -> str:
+    """THE shared DuckDB CTE block for from-scratch exact character-
+    5-gram Jaccard edges: distinct gram sets (substr/generate_series)
+    -> pairwise intersection counts -> `edges(id_a, id_b, jaccard)`
+    filtered at ``tau``.  Single source of truth for shingle size, the
+    length >= 5 filter and the join shape, used by the
+    minhash_jaccard_verified / dedup_clusters / jaccard_clusters
+    oracles and the minhash_pairs inline assert (round-5 review: the
+    block had been copy-pasted four times — one edit could silently
+    desynchronize an oracle from the engine)."""
+    return f"""d AS (
+                SELECT doc_id, text FROM {table}
+                WHERE {where} AND length(text) >= 5
+            ), g AS (
+                SELECT DISTINCT d.doc_id,
+                       substr(d.text, gs.i::INTEGER, 5) AS gram
+                FROM d, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, length(d.text) - 4)) AS i) gs
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_int
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT i.id_a, i.id_b,
+                       i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= {tau}
+            )"""
+
+
+_CC_WALK_SQL = """bidir AS MATERIALIZED (
+                -- MATERIALIZED is load-bearing: the recursive walk
+                -- re-references bidir every iteration, and without the
+                -- hint DuckDB re-evaluates the whole gram self-join per
+                -- iteration (25 min instead of ~5 s at sf0.1)
+                SELECT id_a AS u, id_b AS v FROM edges
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM edges
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM bidir
+            ), walk(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster_id
+            FROM walk GROUP BY id"""
+
+
+def _half_docs_sample(sf_dir: str) -> "ray.data.Dataset":
+    """The doc_id %% 2 == 0, len(text) >= 5 half-corpus sample shared by
+    dedup_clusters and minhash_jaccard_verified (bounds the ORACLE's
+    gram self-join; the Ray pipelines themselves don't need it)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 2 == 0) & (ln >= 5)))
+
+    return docs.map_batches(sample, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+
 # ---------------------------------------------------------------------------
 # flagship: full validation suite over the lineitem table
 # ---------------------------------------------------------------------------
@@ -306,36 +378,21 @@ def _q_minhash_pairs(sf_dir: str):
     candidate SET depends on the banding), but SELF-ASSERTING (round-4
     verdict item #7): every exact-Jaccard >= 0.6 pair that DuckDB finds
     from scratch over the doc_id %% 2 half-sample must appear among the
-    candidates — the recall-1.0-at-tau property the banding config
-    guarantees (num_perm=128 default; P(band miss) ~1e-9 at the
-    corpus's lowest planted J)."""
+    candidates — the recall-1.0-at-tau property the explicit
+    num_perm=128/bands=32 banding config guarantees (P(band miss)
+    ~1e-9 at the corpus's lowest planted J)."""
     import duckdb
     from osf_data_validator_tool_ray.checks.dedup import minhash_near_dup_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5) \
-        .to_pandas()
-    want = duckdb.sql(f"""
-        WITH d AS (
-            SELECT doc_id, text
-            FROM read_parquet('{sf_dir}/documents.parquet')
-            WHERE doc_id % 2 = 0 AND length(text) >= 5
-        ), g AS (
-            SELECT DISTINCT d.doc_id,
-                   substr(d.text, gs.i::INTEGER, 5) AS gram
-            FROM d, LATERAL (SELECT UNNEST(generate_series(
-                1, length(d.text) - 4)) AS i) gs
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_int
-            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT i.id_a, i.id_b FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= 0.6
-    """).df()
+    # num_perm=128/bands=32 (not the 64/16 defaults): the recall-1.0
+    # assert below needs P(band miss at J=0.83) ~1e-9, and 64 perms'
+    # est_jaccard variance would make the 0.5 threshold stochastic
+    out = minhash_near_dup_pairs(ds, "text", "doc_id", num_perm=128,
+                                 bands=32, threshold=0.5).to_pandas()
+    cte = _gram_edges_cte(f"read_parquet('{sf_dir}/documents.parquet')",
+                          "doc_id % 2 = 0", 0.6)
+    want = duckdb.sql(
+        f"WITH {cte} SELECT id_a, id_b FROM edges").df()
     got_pairs = set(zip(out["id_a"], out["id_b"]))
     missing = [p for p in zip(want["id_a"], want["id_b"])
                if p not in got_pairs]
@@ -347,13 +404,15 @@ def _q_minhash_pairs(sf_dir: str):
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, hamming <= 3.  No hash oracle (band
     membership isn't SQL-expressible), but SELF-ASSERTING (round-4
-    verdict item #7): on the doc_id %% 3 == 0 sample the driver
+    verdict item #7): on a CAPPED doc_id %% 3 == 0 sample (<= 800 docs,
+    so the driver check stays O(1) as the corpus grows) the driver
     recomputes ALL-PAIRS hamming from per-doc signatures built directly
-    from the raw texts — the distributed banded exchange must emit
-    exactly that pair set (recall AND precision within the sample) with
-    exactly those distances."""
-    import itertools
-
+    from the raw texts; the distributed banded exchange must be SOUND
+    (every emitted in-sample pair is a true pair with its true
+    distance) and COMPONENT-COMPLETE (the emitted graph connects
+    exactly the same components — oversized buckets legally compress
+    duplicate cliques to chains, so pair-set equality would be too
+    strict; component equality is the operator's actual contract)."""
     from osf_data_validator_tool_ray.checks.dedup import simhash_near_dup_pairs
     from osf_data_validator_tool_ray.functions.text import (
         hamming64, simhash64)
@@ -362,7 +421,8 @@ def _q_simhash_pairs(sf_dir: str):
         .to_pandas()
 
     sample = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    sample = sample[sample["doc_id"] % 3 == 0]
+    sample = sample[sample["doc_id"] % 3 == 0].sort_values("doc_id") \
+        .head(800)
     sig = {int(i): simhash64(t)
            for i, t in zip(sample["doc_id"], sample["text"])}
     ids_s = sorted(sig)
@@ -372,12 +432,28 @@ def _q_simhash_pairs(sf_dir: str):
         h = hamming64(arr[ii], arr[ii + 1:])
         for off in np.flatnonzero(h <= 3):
             want[(ids_s[ii], ids_s[ii + 1 + off])] = int(h[off])
-    in_sample = out[(out["id_a"] % 3 == 0) & (out["id_b"] % 3 == 0)]
+    in_sample = out[out["id_a"].isin(sig) & out["id_b"].isin(sig)]
     got = {(int(a), int(b)): int(hm) for a, b, hm in
            zip(in_sample["id_a"], in_sample["id_b"], in_sample["hamming"])}
-    assert got == want, (
-        f"simhash sample pair set mismatch: extra={set(got) - set(want)} "
-        f"missing={set(want) - set(got)}")
+    extra = {p: h for p, h in got.items() if want.get(p) != h}
+    assert not extra, f"simhash unsound pairs (wrong or fabricated): {extra}"
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    assert components(got) == components(want), "simhash components differ"
     return out
 
 
@@ -1076,16 +1152,7 @@ def _q_minhash_jaccard_verified(sf_dir: str):
     from osf_data_validator_tool_ray.checks.dedup import (
         exact_jaccard_for_pairs, minhash_near_dup_pairs)
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sample(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
-            .to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((ids % 2 == 0) & (ln >= 5)))
-
-    sampled = docs.map_batches(sample, batch_format="pyarrow",
-                               batch_size=None).materialize()
+    sampled = _half_docs_sample(sf_dir)
     cand = minhash_near_dup_pairs(sampled, "text", "doc_id", num_perm=128,
                                   bands=32, threshold=0.5).to_pandas()
     if cand.empty:
@@ -1794,16 +1861,7 @@ def _q_dedup_clusters(sf_dir: str):
         exact_jaccard_for_pairs, minhash_near_dup_pairs,
         near_dup_clusters)
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sample(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
-            .to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((ids % 2 == 0) & (ln >= 5)))
-
-    sampled = docs.map_batches(sample, batch_format="pyarrow",
-                               batch_size=None).materialize()
+    sampled = _half_docs_sample(sf_dir)
     cand = minhash_near_dup_pairs(sampled, "text", "doc_id",
                                   num_perm=128, bands=32,
                                   threshold=0.5).to_pandas()
@@ -2112,93 +2170,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT SUM((ap - ep) * ln(ap / ep)) AS psi FROM t
         """,
-        "jaccard_clusters": """
+        "jaccard_clusters": f"""
             -- replay the modulo-sample exact-Jaccard pairs, then resolve
             -- connected components with a recursive CTE (cluster_id =
             -- min doc id of the component, the engine's label rule)
-            WITH RECURSIVE d AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id % 41 = 0 AND length(text) >= 5
-            ), g AS (
-                SELECT DISTINCT d.doc_id,
-                       substr(d.text, gs.i::INTEGER, 5) AS gram
-                FROM d, LATERAL (
-                    SELECT UNNEST(generate_series(
-                        1, length(d.text) - 4)) AS i) gs
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_int
-                FROM g a JOIN g b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), edges AS (
-                SELECT i.id_a, i.id_b
-                FROM inter i
-                JOIN sizes sa ON sa.doc_id = i.id_a
-                JOIN sizes sb ON sb.doc_id = i.id_b
-                WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= 0.2
-            ), bidir AS (
-                SELECT id_a AS u, id_b AS v FROM edges
-                UNION ALL
-                SELECT id_b AS u, id_a AS v FROM edges
-            ), nodes AS (
-                SELECT DISTINCT u AS id FROM bidir
-            ), walk(id, comp) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
-            )
-            SELECT id AS doc_id, MIN(comp) AS cluster_id
-            FROM walk GROUP BY id
+            WITH RECURSIVE {_gram_edges_cte('documents',
+                                            'doc_id % 41 = 0', 0.2)},
+            {_CC_WALK_SQL}
         """,
-        "dedup_clusters": """
+        "dedup_clusters": f"""
             -- from-scratch exact-Jaccard >= 0.6 edge graph over the
             -- half-corpus sample (blind to the MinHash candidate
             -- generator; recall 1.0 at this tau is what
             -- minhash_jaccard_verified proves), components via
             -- recursive CTE, cluster_id = min doc id of the component
-            WITH RECURSIVE d AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id % 2 = 0 AND length(text) >= 5
-            ), g AS (
-                SELECT DISTINCT d.doc_id,
-                       substr(d.text, gs.i::INTEGER, 5) AS gram
-                FROM d, LATERAL (
-                    SELECT UNNEST(generate_series(
-                        1, length(d.text) - 4)) AS i) gs
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_int
-                FROM g a JOIN g b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), edges AS (
-                SELECT i.id_a, i.id_b
-                FROM inter i
-                JOIN sizes sa ON sa.doc_id = i.id_a
-                JOIN sizes sb ON sb.doc_id = i.id_b
-                WHERE i.n_int::DOUBLE / (sa.n + sb.n - i.n_int) >= 0.6
-            ), bidir AS MATERIALIZED (
-                -- MATERIALIZED is load-bearing: the recursive walk
-                -- re-references bidir every iteration, and without the
-                -- hint DuckDB re-evaluates the whole gram self-join per
-                -- iteration (25 min instead of ~5 s at sf0.1)
-                SELECT id_a AS u, id_b AS v FROM edges
-                UNION ALL
-                SELECT id_b AS u, id_a AS v FROM edges
-            ), nodes AS (
-                SELECT DISTINCT u AS id FROM bidir
-            ), walk(id, comp) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT b.v, w.comp FROM walk w JOIN bidir b ON b.u = w.id
-            )
-            SELECT id AS doc_id, MIN(comp) AS cluster_id
-            FROM walk GROUP BY id
+            WITH RECURSIVE {_gram_edges_cte('documents',
+                                            'doc_id % 2 = 0', 0.6)},
+            {_CC_WALK_SQL}
         """,
         "multimodal_pipeline": """
             -- replay the planted arithmetic pixel pattern + the 64x64
@@ -2356,38 +2344,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc.doc_id, COALESCE(fp.nfp, 0)::BIGINT AS n_fingerprints
             FROM documents doc LEFT JOIN fp ON fp.doc_id = doc.doc_id
         """,
-        "minhash_jaccard_verified": """
-            -- full exact-Jaccard >= 0.6 pair set over the doc_id %% 2
+        "minhash_jaccard_verified": f"""
+            -- full exact-Jaccard >= 0.6 pair set over the doc_id % 2
             -- sample, built with NO knowledge of the MinHash candidate
             -- generator: a hash match proves LSH recall 1.0 at this tau
             -- (pairs with no shared gram have J = 0, so the inter join
             -- covers every pair that could pass the threshold)
-            WITH d AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id % 2 = 0 AND length(text) >= 5
-            ), g AS (
-                SELECT DISTINCT d.doc_id,
-                       substr(d.text, gs.i::INTEGER, 5) AS gram
-                FROM d, LATERAL (
-                    SELECT UNNEST(generate_series(
-                        1, length(d.text) - 4)) AS i) gs
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_int
-                FROM g a JOIN g b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
-                SELECT i.id_a, i.id_b,
-                       i.n_int::DOUBLE
-                       / (sa.n + sb.n - i.n_int) AS j
-                FROM inter i
-                JOIN sizes sa ON sa.doc_id = i.id_a
-                JOIN sizes sb ON sb.doc_id = i.id_b)
-            WHERE j >= 0.6
+            WITH {_gram_edges_cte('documents', 'doc_id % 2 = 0', 0.6)}
+            SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM edges
         """,
         "embedding_neardup_verified": """
             -- rebuild the deterministic planted twins with the same

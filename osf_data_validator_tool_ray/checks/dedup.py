@@ -248,13 +248,37 @@ def _pairs_rebanded(ids: np.ndarray, sigs: np.ndarray, pair_score, emit,
     # full width every sub-bucket is a singleton)
     d = sigs.shape[1]
     if d == 1:
-        # width-1 signatures (simhash path) can't extend the band —
-        # splitting on the single distinct column would make every
-        # sub-bucket a singleton and emit NOTHING.  Bounded fallback:
-        # pair value-sorted neighbors (n-1 pairs); numerically adjacent
-        # signatures share the longest high-bit prefix, so the
-        # highest-agreement candidates survive and connectivity holds.
+        # Width-1 signatures (simhash/fingerprint path) can't extend
+        # the band.  Re-band WITHIN the value instead: split each
+        # 64-bit value into 4x16-bit chunks and sub-bucket once per
+        # chunk position — a pair with <= 3 differing bits has >= 1
+        # EQUAL chunk (pigeonhole), so it shares a sub-bucket in at
+        # least one of the 4 passes and gets all-pairs scored there
+        # (the round-5 review found the previous neighbor-chain-only
+        # fallback dropped non-adjacent close pairs).  Each sub-bucket
+        # recurses under the same budget; sub-buckets equal to the
+        # whole set are skipped (all-distinct values guarantee some
+        # chunk splits, so recursion strictly shrinks).  Duplicate
+        # emissions across passes are collapsed by the callers'
+        # per-pair groupby-min.  A value-sorted neighbor chain is kept
+        # as the connectivity floor.  Deep recursion remains
+        # approximate (a pair can lose every shared-chunk sub-bucket
+        # to a later split) — the documented bounded-work tradeoff.
         emit(ids_s[:-1], ids_s[1:], pair_score(sig_s[:-1], sig_s[1:]))
+        v = sig_s[:, 0].astype(np.uint64)
+        for c in range(4):
+            chunk = (v >> np.uint64(48 - 16 * c)) & np.uint64(0xFFFF)
+            order2 = np.argsort(chunk, kind="stable")
+            ch_s = chunk[order2]
+            bnd2 = np.flatnonzero(ch_s[1:] != ch_s[:-1]) + 1
+            st = np.concatenate([[0], bnd2]).astype(np.int64)
+            en = np.concatenate([bnd2, [n]]).astype(np.int64)
+            for s3, e3 in zip(st, en):
+                if e3 - s3 >= 2 and e3 - s3 < n:
+                    idx = order2[s3:e3]
+                    _pairs_rebanded(ids_s[idx], sig_s[idx], pair_score,
+                                    emit, max_bucket_pairs, op_name,
+                                    _depth + 1)
         return
     cols = min(d, 1 << (_depth + 1))
     sub = sig_s[:, :cols]
@@ -320,6 +344,12 @@ def _vector_bucket_pairs(
     Same-size bucket groups are processed in chunks bounded by
     ``pair_budget_bytes`` of temporaries."""
     import logging
+
+    if len(df) == 0 or not set(key_cols) <= set(df.columns):
+        # zero-block inputs (e.g. an empty checkpoint artifact) yield a
+        # column-less empty frame from Dataset.to_pandas
+        e = np.array([], dtype=np.int64)
+        return e, e, np.array([], dtype=np.float64)
 
     arrs = [df[c].to_numpy() for c in key_cols]
     order = np.lexsort(arrs[::-1])

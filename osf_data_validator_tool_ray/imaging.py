@@ -76,6 +76,11 @@ def decode_png(buf) -> tuple[np.ndarray, int, int]:
         pos = data_end + 4
     if ihdr is None or not idat or not ended:
         raise ValueError("missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        # struct.error is NOT a ValueError subclass — an IHDR of the
+        # wrong length must still surface as an undecodable payload,
+        # not crash the decode stage
+        raise ValueError(f"IHDR length {len(ihdr)} != 13")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
     if depth != 8:

@@ -101,10 +101,23 @@ class _StageCheckpoints:
         publish) and return it re-opened disk-backed.  The record is
         written separately via finish() once the caller has the stage's
         stats — record-last means a half-finished stage never loads."""
+        import pyarrow.parquet as pq
+
         pid = f"stage-{name}"
         tmp = os.path.join(self.store.root,
                            f".tmp-{name}-{uuid.uuid4().hex}")
         out.write_parquet(tmp)
+        if not (os.path.isdir(tmp) and os.listdir(tmp)):
+            # an all-empty Dataset writes NO files; load() requires a
+            # non-empty artifact dir, so without a schema-bearing
+            # placeholder the finished stage would re-run on every
+            # resume and the re-opened dataset would be schema-less
+            schema = out.schema()
+            base = getattr(schema, "base_schema", None) \
+                if schema is not None else None
+            empty = base.empty_table() if base is not None else pa.table({})
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(empty, os.path.join(tmp, "part-empty.parquet"))
         final = self.store.publish_artifact(pid, "parquet", tmp)
         return ray.data.read_parquet(final)
 
@@ -250,6 +263,11 @@ def curate_corpus(
         pairs = minhash_near_dup_pairs(exact_unique, text_col, id_col,
                                        threshold=near_dup_threshold)
         clusters = near_dup_clusters(pairs).to_pandas()
+        if "doc_id" not in clusters.columns:
+            # empty pair graph -> Ray's to_pandas drops the schema
+            clusters = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "cluster_id": pd.Series(dtype="int64")})
         stats["n_near_dup_rows"] = int(
             (clusters["doc_id"] != clusters["cluster_id"]).sum())
         if ckpt is not None:

@@ -381,8 +381,32 @@ def grouped_agg(
                               batch_size=None).materialize()
     if fits_driver_merge(partials, threshold):
         df = partials.to_pandas()
-        out = df.groupby(keylist, sort=False, dropna=False).agg(
-            **{o: (o, fn) for o, fn in merge_fns.items()}).reset_index()
+        if df.empty and not set(keylist) <= set(df.columns):
+            # a ZERO-block input (e.g. an empty parquet artifact) never
+            # runs the combiner, so to_pandas yields a column-less
+            # frame and groupby(keys) would KeyError — rebuild the
+            # empty result with key dtypes from the input schema
+            schema = ds.schema()
+            base = getattr(schema, "base_schema", None) \
+                if schema is not None else None
+
+            def dtype_of(col: str, default):
+                try:
+                    if base is not None and col in base.names:
+                        return base.field(col).type.to_pandas_dtype()
+                except (KeyError, NotImplementedError):
+                    pass
+                return default
+
+            data = {k: pd.Series(dtype=dtype_of(k, object))
+                    for k in keylist}
+            for o, (c, fn) in specs.items():
+                data[o] = pd.Series(
+                    dtype="int64" if fn == "count" else dtype_of(c, "float64"))
+            out = pd.DataFrame(data)
+        else:
+            out = df.groupby(keylist, sort=False, dropna=False).agg(
+                **{o: (o, fn) for o, fn in merge_fns.items()}).reset_index()
         return ray.data.from_arrow(
             pa.Table.from_pandas(out, preserve_index=False)
             .replace_schema_metadata(None))

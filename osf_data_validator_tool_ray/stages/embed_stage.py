@@ -19,8 +19,11 @@ Model backends (``backend=`` in ``TextEmbedder``):
   * ``"torch"`` / ``"onnx"``: require that runtime (clear ImportError
     otherwise).  The model contract is tokenizer-free on the model
     side: the stage hash-tokenizes (shared with the stand-in) and feeds
-    an int64 ``[batch, max_len]`` token-id tensor (0-padded); the model
-    returns ``[batch, dim]`` float32, which the stage L2-normalizes.
+    an int64 ``[batch, max_len]`` token-id tensor — id 0 is PADDING and
+    real tokens occupy 1..2^16 inclusive, so the model's embedding
+    table needs ``(1 << 16) + 1`` rows with ``padding_idx=0``; the
+    model returns ``[batch, dim]`` float32, which the stage
+    L2-normalizes.
   * ``"hash"``: the deterministic stand-in — a 16 MB seeded
     hash-projection table standing in for weights; mean of hashed-token
     projections, L2-normalized.
@@ -73,6 +76,12 @@ class TextEmbedder:
                     raise ImportError(
                         "backend='torch' requires torch; install it or "
                         "use backend='auto'/'hash'") from None
+            except Exception:
+                # auto means TRY torch — a non-TorchScript file or
+                # corrupt weights must fall through to ONNX/hash, not
+                # abort; an explicit backend="torch" propagates
+                if backend == "torch":
+                    raise
         if (self._model is None and model_path is not None
                 and backend in ("auto", "onnx")):
             try:

@@ -149,3 +149,30 @@ def test_curate_corpus_checkpoint_resume(tmp_path):
     assert ts_final["stage-exact_unique.json"] == \
         ts_before["stage-exact_unique.json"]
     assert ts_final["stage-clusters.json"] > ts_before["stage-clusters.json"]
+
+
+def test_curate_corpus_checkpoint_empty_stage_completes(tmp_path):
+    """Round-5 review fix: a stage whose output is EMPTY must still
+    register complete (schema-bearing placeholder artifact), so resume
+    skips it instead of re-running it forever."""
+    import json
+    import os
+
+    ck = str(tmp_path / "ck_empty")
+    # every doc fails the quality gate -> cleaned is empty
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["tiny", "small", "x"]})
+    r1 = curate_corpus(ray.data.from_pandas(df).repartition(2),
+                       checkpoint_dir=ck)
+    assert r1["stats"]["n_after_quality"] == 0
+    assert r1["stats"]["n_output"] == 0
+    rec_dir = os.path.join(ck, "records")
+    ts1 = {f: json.load(open(os.path.join(rec_dir, f)))["ts"]
+           for f in os.listdir(rec_dir)}
+    poison = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [9], "text": ["poison words " * 20]}))
+    r2 = curate_corpus(poison, checkpoint_dir=ck)
+    assert r2["stats"]["n_output"] == 0          # resumed, not re-run
+    ts2 = {f: json.load(open(os.path.join(rec_dir, f)))["ts"]
+           for f in os.listdir(rec_dir)}
+    assert ts2 == ts1

@@ -138,3 +138,26 @@ def test_png_backend_stage_gates_planted_corruptions():
             assert stats.loc[key, "width"] == 16 + i % 7
             assert abs(stats.loc[key, "mean_luma"]
                        - want_luma[key]) < 1e-9
+
+
+def test_png_short_ihdr_is_valueerror_not_struct_error():
+    """Round-5 review fix: a chunk typed IHDR with a 12-byte payload
+    (valid CRC) must raise ValueError, not struct.error, so the decode
+    stage flags it undecodable instead of crashing."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    forged = PNG_SIG + chunk(b"IHDR", b"\x00" * 12) \
+        + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(forged)
+    # and the stage path turns it into decoded_ok=False
+    from osf_data_validator_tool_ray.stages.multimodal import (
+        ImageDecodeStage)
+    t = pa.table({"image_id": ["bad"], "bytes": [forged]})
+    out = ImageDecodeStage(backend="png")(t)
+    assert out.column("decoded_ok").to_pylist() == [False]

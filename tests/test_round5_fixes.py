@@ -30,8 +30,9 @@ import ray.data
 def test_pairs_rebanded_width1_distinct_sigs_emit_pairs():
     """d=1 oversized bucket, ALL-distinct signatures: the old extended-
     band recursion split on the single column -> every sub-bucket a
-    singleton -> zero pairs.  The fallback pairs value-sorted neighbors
-    (n-1 pairs) so every member stays connected."""
+    singleton -> zero pairs.  The chunk-rotation re-band emits a
+    bounded (far sub-quadratic) pair set that keeps every member
+    connected."""
     from osf_data_validator_tool_ray.checks.dedup import _bucket_pair_arrays
 
     n = 120
@@ -40,8 +41,9 @@ def test_pairs_rebanded_width1_distinct_sigs_emit_pairs():
     ia, ib, sc = _bucket_pair_arrays(
         ids, sigs, lambda a, b: np.ones(a.shape[:-1], dtype=np.float64),
         lambda s: s >= 0.0, max_bucket_pairs=100, op_name="unit")
-    assert len(ia) == n - 1                       # bounded, not quadratic
-    # value-sorted neighbor chain connects every id
+    uniq = set(zip(ia.tolist(), ib.tolist()))
+    assert n - 1 <= len(uniq) <= 8 * n            # bounded, not quadratic
+    # the emitted graph connects every id
     parent = {}
 
     def find(x):
@@ -50,11 +52,37 @@ def test_pairs_rebanded_width1_distinct_sigs_emit_pairs():
             x = parent[x]
         return x
 
-    for a, b in zip(ia, ib):
+    for a, b in uniq:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert len({find(int(i)) for i in ids}) == 1
+
+
+def test_pairs_rebanded_width1_nonadjacent_close_pair_recovered():
+    """Round-5 review fix: a hamming-2 pair whose differing bits sit in
+    the HIGH chunk sorts far apart (the old neighbor-chain-only
+    fallback never paired it), but shares chunks 1-3 — the chunk
+    passes must emit it with its true score."""
+    from osf_data_validator_tool_ray.checks.dedup import _bucket_pair_arrays
+    from osf_data_validator_tool_ray.functions.text import hamming64
+
+    rng = np.random.default_rng(11)
+    a_val = np.uint64(0x0000AAAABBBBCCCC)
+    b_val = np.uint64(0xC000AAAABBBBCCCC)          # 2 high bits differ
+    filler = rng.integers(1, 1 << 62, size=150, dtype=np.uint64)
+    vals = np.concatenate([[a_val, b_val], filler]).astype(np.uint64)
+    sigs = vals.reshape(-1, 1)
+    ids = np.arange(len(vals), dtype=np.int64)
+
+    def score(sa, sb):
+        return hamming64(sa.ravel(), sb.ravel()).astype(np.float64)
+
+    ia, ib, sc = _bucket_pair_arrays(
+        ids, sigs, score, lambda s: s <= 3.0,
+        max_bucket_pairs=1000, op_name="unit")
+    got = {(int(x), int(y)): s for x, y, s in zip(ia, ib, sc)}
+    assert (0, 1) in got and got[(0, 1)] == 2.0
 
 
 def test_pairs_rebanded_width1_mixed_dups_and_distinct():
