@@ -144,6 +144,25 @@ def check_vad(ctx: RunContext, min_speech_ratio: str = "0.2",
                           min_cps=float(min_cps), max_cps=float(max_cps))
 
 
+@register("image")
+def check_image(ctx: RunContext, backend: str = "png",
+                batch_size: str = "32"):
+    """IMG-DECODE-100 (undecodable payload) / IMG-DECODE-101 (decoded
+    dims contradict metadata) over an image-payload table
+    (image_id: string, bytes: binary).  backend="png" is the real
+    pure-numpy PNG/BMP decoder (..imaging); "fake" keeps the
+    header-parser stand-in; "pil"/"ffmpeg" are the full-format swap
+    points (NotImplementedError without the library)."""
+    from ..stages.multimodal import (image_decode_stats,
+                                     image_decode_violations)
+    names = ctx.ds.schema().names
+    if "bytes" not in names or "image_id" not in names:
+        return None
+    stats = image_decode_stats(ctx.ds, backend=backend,
+                               batch_size=int(batch_size))
+    return image_decode_violations(stats)
+
+
 @register("drift")
 def check_drift(ctx: RunContext, ks_threshold: str = "0.1", psi_threshold: str = "0.2"):
     from .drift import TableProfile, build_profile, drift_violations

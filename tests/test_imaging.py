@@ -161,3 +161,42 @@ def test_png_short_ihdr_is_valueerror_not_struct_error():
     t = pa.table({"image_id": ["bad"], "bytes": [forged]})
     out = ImageDecodeStage(backend="png")(t)
     assert out.column("decoded_ok").to_pylist() == [False]
+
+
+def test_png_round_trip_property():
+    """Property: ANY uint8 array round-trips exactly through every
+    filter type (hypothesis-driven shapes/contents)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        px=arrays(np.uint8,
+                  st.tuples(st.integers(1, 12), st.integers(1, 12),
+                            st.sampled_from([1, 2, 3, 4]))),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    )
+    def check(px, ft):
+        out, w, h = decode_png(encode_png(px, filter_type=ft))
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert (out == px).all()
+
+    check()
+
+
+def test_bmp_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(px=arrays(np.uint8,
+                     st.tuples(st.integers(1, 9), st.integers(1, 9),
+                               st.just(3))),
+           td=st.booleans())
+    def check(px, td):
+        out, w, h = decode_bmp(encode_bmp(px, top_down=td))
+        assert (out == px).all()
+
+    check()

@@ -114,3 +114,37 @@ def test_registry_drift_exact():
     v2 = out2[0]
     v2 = v2.to_pandas() if hasattr(v2, "to_pandas") else v2
     assert len(v2) == 0
+
+
+def test_registry_image_check():
+    """`image?backend=png` plugs the real PNG/BMP decode stage into the
+    reference-style check registry: corrupted payloads -> IMG-DECODE-100,
+    clean payloads -> no violations, absent columns -> inapplicable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osf_data_validator_tool_ray.checks.registry import (
+        RunContext, plan_checks)
+    from osf_data_validator_tool_ray.imaging import encode_bmp, encode_png
+    from osf_data_validator_tool_ray.spec import clips_spec
+
+    y, x = np.mgrid[0:12, 0:16]
+    px = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256],
+                  axis=2).astype(np.uint8)
+    rows = []
+    for i in range(20):
+        buf = encode_bmp(px) if i % 2 else encode_png(px, i % 5)
+        if i % 7 == 0:
+            buf = buf[: len(buf) // 2]
+        rows.append({"image_id": f"img{i:03d}", "bytes": buf})
+    ctx = RunContext(ds=ray.data.from_pandas(pd.DataFrame(rows)),
+                     spec=clips_spec())
+    out = plan_checks(ctx, ["image?backend=png&batch_size=8"])
+    v = out[0].to_pandas() if hasattr(out[0], "to_pandas") else out[0]
+    bad = sorted(v[v["check_id"] == "IMG-DECODE-100"]["key"])
+    assert bad == [f"img{i:03d}" for i in range(20) if i % 7 == 0]
+    # table without image columns -> check not applicable
+    ctx2 = RunContext(ds=ray.data.from_pandas(
+        pd.DataFrame({"a": [1]})), spec=clips_spec())
+    assert plan_checks(ctx2, ["image"]) == []

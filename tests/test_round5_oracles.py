@@ -134,3 +134,32 @@ def test_dedup_clusters_equals_exact_jaccard_components():
     want = _brute_components(texts, k=5, tau=0.6)
     assert got_map == want
     assert len(want) > 0  # the planted chains must actually cluster
+
+
+def test_bpe_count_equivalence_property():
+    """Property: on space-separated ASCII text (no tabs/newlines, no
+    space-before-apostrophe shapes beyond single spaces), the
+    lookahead-free BPE_RE counts exactly like the GPT-2-style pattern,
+    and like DuckDB's RE2 recount."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osf_data_validator_tool_ray.functions.text import BPE_RE
+
+    word = st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ019.,!?-_'") ), min_size=1, max_size=8)
+    texts = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(t=texts)
+    def check(t):
+        assert len(BPE_RE.findall(t)) == len(GPT2ISH.findall(t))
+        got = con.execute(
+            "SELECT COALESCE(length(regexp_extract_all(?, ?)), 0)",
+            [t, BPE_RE.pattern]).fetchone()[0]
+        assert got == len(BPE_RE.findall(t))
+
+    check()
