@@ -404,15 +404,17 @@ def _q_minhash_pairs(sf_dir: str):
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, hamming <= 3.  No hash oracle (band
     membership isn't SQL-expressible), but SELF-ASSERTING (round-4
-    verdict item #7): on a CAPPED doc_id %% 3 == 0 sample (<= 800 docs,
-    so the driver check stays O(1) as the corpus grows) the driver
-    recomputes ALL-PAIRS hamming from per-doc signatures built directly
-    from the raw texts; the distributed banded exchange must be SOUND
-    (every emitted in-sample pair is a true pair with its true
-    distance) and COMPONENT-COMPLETE (the emitted graph connects
-    exactly the same components — oversized buckets legally compress
-    duplicate cliques to chains, so pair-set equality would be too
-    strict; component equality is the operator's actual contract)."""
+    verdict item #7): on a BOUNDED sample (doc_id %% 3 == 0 and
+    doc_id < 2400 — the filter runs inside the Dataset, so the driver
+    pull is O(1) as the corpus grows) the driver recomputes ALL-PAIRS
+    hamming from per-doc signatures built directly from the raw texts;
+    the distributed banded exchange must be SOUND (every emitted
+    in-sample pair is a true pair with its true distance) and
+    CONNECTIVITY-COMPLETE (every true sample pair is connected in the
+    FULL emitted graph — oversized buckets legally compress duplicate
+    cliques to chains, possibly through non-sample docs, so pair-set
+    or sample-restricted-component equality would both be too strict;
+    reachability is the operator's actual contract)."""
     from osf_data_validator_tool_ray.checks.dedup import simhash_near_dup_pairs
     from osf_data_validator_tool_ray.functions.text import (
         hamming64, simhash64)
@@ -420,9 +422,13 @@ def _q_simhash_pairs(sf_dir: str):
     out = simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3) \
         .to_pandas()
 
-    sample = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    sample = sample[sample["doc_id"] % 3 == 0].sort_values("doc_id") \
-        .head(800)
+    def bounded_sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 3 == 0) & (ids < 2400)))
+
+    sample = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(bounded_sample, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
     sig = {int(i): simhash64(t)
            for i, t in zip(sample["doc_id"], sample["text"])}
     ids_s = sorted(sig)
@@ -438,22 +444,20 @@ def _q_simhash_pairs(sf_dir: str):
     extra = {p: h for p, h in got.items() if want.get(p) != h}
     assert not extra, f"simhash unsound pairs (wrong or fabricated): {extra}"
 
-    def components(pairs):
-        parent = {}
+    parent: dict = {}
 
-        def find(x):
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-        for a, b in pairs:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        return {n: find(n) for n in parent}
-
-    assert components(got) == components(want), "simhash components differ"
+    for a, b in zip(out["id_a"], out["id_b"]):   # FULL graph, all ids
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    missing = [p for p in want if find(p[0]) != find(p[1])]
+    assert not missing, f"simhash pairs unreachable in emitted graph: {missing[:5]}"
     return out
 
 

@@ -249,28 +249,44 @@ def _pairs_rebanded(ids: np.ndarray, sigs: np.ndarray, pair_score, emit,
     d = sigs.shape[1]
     if d == 1:
         # Width-1 signatures (simhash/fingerprint path) can't extend
-        # the band.  Re-band WITHIN the value instead: split each
-        # 64-bit value into 4x16-bit chunks and sub-bucket once per
-        # chunk position — a pair with <= 3 differing bits has >= 1
-        # EQUAL chunk (pigeonhole), so it shares a sub-bucket in at
-        # least one of the 4 passes and gets all-pairs scored there
-        # (the round-5 review found the previous neighbor-chain-only
-        # fallback dropped non-adjacent close pairs).  Each sub-bucket
-        # recurses under the same budget; sub-buckets equal to the
-        # whole set are skipped (all-distinct values guarantee some
-        # chunk splits, so recursion strictly shrinks).  Duplicate
-        # emissions across passes are collapsed by the callers'
-        # per-pair groupby-min.  A value-sorted neighbor chain is kept
-        # as the connectivity floor.  Deep recursion remains
-        # approximate (a pair can lose every shared-chunk sub-bucket
-        # to a later split) — the documented bounded-work tradeoff.
+        # the band.  Re-band WITHIN the value instead: split the bit
+        # positions that actually VARY across this bucket into 4
+        # groups and sub-bucket once per group (key = the group's own
+        # bits) — a pair with <= 3 differing bits has >= 1 group
+        # containing NONE of them (pigeonhole over 4 groups), so it
+        # shares that pass's sub-bucket and is eventually all-pairs
+        # scored; the argument re-applies at every recursion level.
+        # Splitting only VARYING bits matters: a real band-b LSH
+        # bucket shares 16 fixed bits, and a fixed-position chunking
+        # would burn its "equal chunk" on the shared band, whose
+        # sub-bucket is the whole set (round-5 review follow-up — the
+        # first fix failed exactly that shape).  Group keys are built
+        # from varying bits only, so every pass genuinely splits;
+        # whole-set groups (possible only when < 4 varying bits
+        # remain) are skipped, making recursion strictly shrink.
+        # Duplicate emissions across passes are collapsed by the
+        # callers' per-pair groupby-min.  A value-sorted neighbor
+        # chain is kept as the connectivity floor, and a depth cap
+        # bounds the 4x-per-level pass fan-out on adversarial data.
         emit(ids_s[:-1], ids_s[1:], pair_score(sig_s[:-1], sig_s[1:]))
+        if _depth > 12:
+            return
         v = sig_s[:, 0].astype(np.uint64)
-        for c in range(4):
-            chunk = (v >> np.uint64(48 - 16 * c)) & np.uint64(0xFFFF)
-            order2 = np.argsort(chunk, kind="stable")
-            ch_s = chunk[order2]
-            bnd2 = np.flatnonzero(ch_s[1:] != ch_s[:-1]) + 1
+        varying = np.uint64(np.bitwise_or.reduce(v ^ v[0]))
+        bit_pos = np.flatnonzero(
+            (varying >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        if len(bit_pos) == 0:
+            return              # identical values: dup chains covered it
+        for gbits in np.array_split(bit_pos, min(4, len(bit_pos))):
+            if len(gbits) == 0:
+                continue
+            mask = np.uint64(0)
+            for b in gbits:
+                mask |= np.uint64(1) << np.uint64(b)
+            key = v & mask
+            order2 = np.argsort(key, kind="stable")
+            k_s = key[order2]
+            bnd2 = np.flatnonzero(k_s[1:] != k_s[:-1]) + 1
             st = np.concatenate([[0], bnd2]).astype(np.int64)
             en = np.concatenate([bnd2, [n]]).astype(np.int64)
             for s3, e3 in zip(st, en):
@@ -949,7 +965,11 @@ def simhash_near_dup_pairs(
     mat = sigs.map_batches(explode, batch_format="pyarrow").materialize()
     if fits_driver_merge(mat):
         df = mat.to_pandas()
-        sig_mat = df["simhash"].to_numpy().astype(np.uint64).reshape(-1, 1)
+        # zero-block band tables come back column-less (same wart as
+        # _vector_bucket_pairs' guard) — feed it an empty sig matrix
+        sig_mat = (df["simhash"].to_numpy().astype(np.uint64)
+                   .reshape(-1, 1) if "simhash" in df.columns else
+                   np.empty((0, 1), dtype=np.uint64))
         ia, ib, sc = _vector_bucket_pairs(
             df, ["band_id", "band_val"], "doc_id", sig_mat,
             lambda sa, sb: T.hamming64(sa.ravel(), sb.ravel())

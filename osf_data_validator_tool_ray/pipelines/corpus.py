@@ -113,8 +113,9 @@ class _StageCheckpoints:
             # placeholder the finished stage would re-run on every
             # resume and the re-opened dataset would be schema-less
             schema = out.schema()
-            base = getattr(schema, "base_schema", None) \
-                if schema is not None else None
+            base = getattr(schema, "base_schema", None)
+            if base is None and isinstance(schema, pa.Schema):
+                base = schema    # some paths hand back a plain pa.Schema
             empty = base.empty_table() if base is not None else pa.table({})
             os.makedirs(tmp, exist_ok=True)
             pq.write_table(empty, os.path.join(tmp, "part-empty.parquet"))

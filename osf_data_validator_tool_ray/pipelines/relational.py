@@ -385,28 +385,33 @@ def grouped_agg(
             # a ZERO-block input (e.g. an empty parquet artifact) never
             # runs the combiner, so to_pandas yields a column-less
             # frame and groupby(keys) would KeyError — rebuild the
-            # empty result with key dtypes from the input schema
+            # empty result IN ARROW with the input schema's types (an
+            # empty pandas object series would become a null-typed
+            # column and break downstream Arrow kernels / schema
+            # compares; round-5 review)
             schema = ds.schema()
-            base = getattr(schema, "base_schema", None) \
-                if schema is not None else None
+            base = getattr(schema, "base_schema", None)
+            if base is None and isinstance(schema, pa.Schema):
+                base = schema
 
-            def dtype_of(col: str, default):
-                try:
-                    if base is not None and col in base.names:
-                        return base.field(col).type.to_pandas_dtype()
-                except (KeyError, NotImplementedError):
-                    pass
+            def arrow_type(col: str, default: pa.DataType) -> pa.DataType:
+                if base is not None and col in base.names:
+                    return base.field(col).type
                 return default
 
-            data = {k: pd.Series(dtype=dtype_of(k, object))
+            cols = {k: pa.array([], type=arrow_type(k, pa.string()))
                     for k in keylist}
             for o, (c, fn) in specs.items():
-                data[o] = pd.Series(
-                    dtype="int64" if fn == "count" else dtype_of(c, "float64"))
-            out = pd.DataFrame(data)
-        else:
-            out = df.groupby(keylist, sort=False, dropna=False).agg(
-                **{o: (o, fn) for o, fn in merge_fns.items()}).reset_index()
+                if fn == "count":
+                    t = pa.int64()
+                else:
+                    t = arrow_type(c, pa.float64())
+                    if fn == "sum" and pa.types.is_integer(t):
+                        t = pa.int64()   # pandas sums ints to int64
+                cols[o] = pa.array([], type=t)
+            return ray.data.from_arrow(pa.table(cols))
+        out = df.groupby(keylist, sort=False, dropna=False).agg(
+            **{o: (o, fn) for o, fn in merge_fns.items()}).reset_index()
         return ray.data.from_arrow(
             pa.Table.from_pandas(out, preserve_index=False)
             .replace_schema_metadata(None))

@@ -36,11 +36,15 @@ downstream relies on.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+_LOG = logging.getLogger("osf_data_validator_tool_ray.embed")
 
 _VOCAB_BITS = 16                      # 65,536-row projection table
 
@@ -76,12 +80,19 @@ class TextEmbedder:
                     raise ImportError(
                         "backend='torch' requires torch; install it or "
                         "use backend='auto'/'hash'") from None
-            except Exception:
+            except Exception as e:
                 # auto means TRY torch — a non-TorchScript file or
                 # corrupt weights must fall through to ONNX/hash, not
-                # abort; an explicit backend="torch" propagates
+                # abort; an explicit backend="torch" propagates.  The
+                # fallthrough is LOUD: silently degrading to stand-in
+                # embeddings would skew every downstream ANN/dedup
+                # result with no signal.
                 if backend == "torch":
                     raise
+                _LOG.warning(
+                    "TextEmbedder backend='auto': torch load of %r "
+                    "failed (%s: %s); trying ONNX, then the hash "
+                    "stand-in", model_path, type(e).__name__, e)
         if (self._model is None and model_path is not None
                 and backend in ("auto", "onnx")):
             try:
@@ -100,6 +111,16 @@ class TextEmbedder:
                     raise ImportError(
                         "backend='onnx' requires onnxruntime; install it "
                         "or use backend='auto'/'hash'") from None
+            except Exception as e:
+                # same contract as the torch probe: auto falls through
+                # (a torch checkpoint is not valid ONNX either), an
+                # explicit backend="onnx" propagates
+                if backend == "onnx":
+                    raise
+                _LOG.warning(
+                    "TextEmbedder backend='auto': onnxruntime load of %r "
+                    "failed (%s: %s); using the hash stand-in",
+                    model_path, type(e).__name__, e)
         if self._model is None and backend in ("torch", "onnx") \
                 and model_path is None:
             raise ValueError(f"backend={backend!r} needs a model_path")

@@ -99,9 +99,15 @@ def test_pairs_rebanded_width1_mixed_dups_and_distinct():
         lambda a, b: np.ones(a.shape[:-1], dtype=np.float64),
         lambda s: s >= 0.0, max_bucket_pairs=200, op_name="unit")
     got = set(zip(ia.tolist(), ib.tolist()))
-    # the 50-dup chain survives (49 pairs) and the 61 distinct values
-    # (reps: one per distinct value = 1 + 60) chain as neighbors
-    assert len(got) == 49 + 60
+    # the 50-dup chain survives (49 pairs); the distinct reps emit a
+    # connected pair set via the varying-bits passes — not nothing,
+    # and under the complete 61*60/2 set even on this DENSE value
+    # range (worst case for the pass scheme: per-pass volume is
+    # budget-capped per sub-bucket, ~n*sqrt(2*budget) overall)
+    chain = {(i, i + 1) for i in range(49)}
+    assert chain <= got
+    rep_pairs = {p for p in got if p[0] >= 50 or p[1] >= 50}
+    assert 60 <= len(rep_pairs) < 61 * 60 // 2
 
 
 def test_spectral_fingerprint_requires_sr():
@@ -216,3 +222,77 @@ def test_exact_cosine_for_pairs_single_tiny_block():
     pairs = pd.DataFrame({"id_a": [10, 10], "id_b": [11, 12]})
     out = exact_cosine_for_pairs(ds, pairs, "emb", "doc_id")
     assert np.allclose(out["cosine"].to_numpy(), [0.0, 0.0])
+
+
+def test_pairs_rebanded_width1_shared_band_close_pair_recovered():
+    """Review follow-up: a REAL band-b LSH bucket shares 16 fixed bits,
+    so a fixed-position chunking burns its equal chunk on the shared
+    band (whole-set sub-bucket, skipped) — the varying-bits grouping
+    must still recover a hamming-3 pair whose 3 differing bits sit in
+    3 different 16-bit regions."""
+    from osf_data_validator_tool_ray.checks.dedup import _bucket_pair_arrays
+    from osf_data_validator_tool_ray.functions.text import hamming64
+
+    rng = np.random.default_rng(23)
+    shared_band = np.uint64(0xBEEF)            # bits 0-15 fixed bucket-wide
+    base = np.uint64(0x123456789ABC0000) | shared_band
+    a_val = base
+    # 3 differing bits: one each in bits 16-31, 32-47, 48-63
+    b_val = base ^ (np.uint64(1) << np.uint64(20)) \
+        ^ (np.uint64(1) << np.uint64(40)) ^ (np.uint64(1) << np.uint64(60))
+    filler = (rng.integers(0, 1 << 48, size=150, dtype=np.uint64)
+              << np.uint64(16)) | shared_band
+    vals = np.concatenate([[a_val, b_val], filler]).astype(np.uint64)
+    assert int(hamming64(a_val, b_val)[0]) == 3
+    sigs = vals.reshape(-1, 1)
+    ids = np.arange(len(vals), dtype=np.int64)
+
+    def score(sa, sb):
+        return hamming64(sa.ravel(), sb.ravel()).astype(np.float64)
+
+    ia, ib, sc = _bucket_pair_arrays(
+        ids, sigs, score, lambda s: s <= 3.0,
+        max_bucket_pairs=1000, op_name="unit")
+    got = {(int(x), int(y)): s for x, y, s in zip(ia, ib, sc)}
+    assert (0, 1) in got and got[(0, 1)] == 3.0
+
+
+def test_simhash_pairs_empty_input():
+    """Zero-row corpus: the banded exchange materializes zero blocks and
+    to_pandas drops all columns — the pairs call must return empty, not
+    KeyError 'simhash'."""
+    from osf_data_validator_tool_ray.checks.dedup import (
+        simhash_near_dup_pairs)
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = simhash_near_dup_pairs(empty, "text", "doc_id").to_pandas()
+    assert len(out) == 0
+
+
+def test_grouped_agg_zero_block_keeps_arrow_types():
+    """Zero-block input keyed on a STRING column: the empty result must
+    keep string/int64 Arrow types (an object->null column would break
+    downstream Arrow kernels)."""
+    import pyarrow.parquet as pq
+
+    from osf_data_validator_tool_ray.pipelines.relational import grouped_agg
+
+    d = "/tmp/ga_empty_test"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "k": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int32())}), f"{d}/part-0.parquet")
+    ds = ray.data.read_parquet(d)
+    out = grouped_agg(ds, "k", {"n": ("k", "count"), "s": ("v", "sum"),
+                                "mx": ("v", "max")})
+    # assert on the Dataset schema (to_pandas drops columns of any
+    # all-empty dataset — the very wart these guards absorb)
+    s = out.schema()
+    types = dict(zip(s.names, s.types))
+    assert out.count() == 0
+    assert types["k"] == pa.string()
+    assert types["n"] == pa.int64()
+    assert types["s"] == pa.int64()
+    assert types["mx"] == pa.int32()
