@@ -1883,6 +1883,37 @@ def _q_dedup_clusters(sf_dir: str):
     return near_dup_clusters(pairs)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination, ORACLED: doc_id % 17 == 0 documents
+    play the benchmark/eval set; every other document is flagged with
+    the number of word-5-gram positions it shares with the benchmark
+    (the GPT-3/C4-style overlap rule).  The engine broadcasts the
+    benchmark gram set once and streams training docs through one
+    vectorized membership pass (pipelines/training.py::decontaminate);
+    DuckDB rebuilds both gram sets from scratch with
+    regexp_extract_all + list slicing and replays the join."""
+    from osf_data_validator_tool_ray.pipelines.training import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 17 == 0) if keep_bench else (ids % 17 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow",
+                             batch_size=None)
+    train = docs.map_batches(side(False), batch_format="pyarrow",
+                             batch_size=None)
+    out = decontaminate(train, bench, n=5).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_hits": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """BPE-ish pre-token counts, ORACLED (round-4 verdict item #3): the
     pre-tokenizer is lookahead-free (see functions/text.py BPE_RE), so
@@ -1947,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_silence": _q_trim_silence,
         "simhash_exact_dups": _q_simhash_exact_dups,
         "bpe_token_counts": _q_bpe_token_counts,
+        "decontaminate": _q_decontaminate,
         "dedup_clusters": _q_dedup_clusters,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
         "restriction_lexical": _q_restriction_lexical,
@@ -2054,6 +2086,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
             FROM documents
+        """,
+        "decontaminate": """
+            -- from-scratch word-5-gram overlap between the benchmark
+            -- slice (doc_id % 17 = 0) and every training doc: DuckDB
+            -- rebuilds both gram sets with regexp_extract_all + list
+            -- slicing, blind to the engine's broadcast-set design
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), g AS (
+                SELECT t.doc_id,
+                       array_to_string(t.w[gs.i : gs.i + 4], ' ') AS gram
+                FROM tok t, LATERAL (
+                    SELECT UNNEST(generate_series(
+                        1, greatest(len(t.w) - 4, 0))) AS i) gs
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+            )
+            SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 17 <> 0
+            GROUP BY g.doc_id
         """,
         "bpe_token_counts": r"""
             -- same lookahead-free BPE-ish pre-tokenizer as BPE_RE

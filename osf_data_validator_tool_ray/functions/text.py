@@ -378,3 +378,28 @@ def pattern_counts(texts: pd.Series, pattern: str) -> np.ndarray:
     Python re and DuckDB regexp_extract_all agree on the shared
     ASCII-regex subset used by the driver oracle."""
     return texts.str.count(pattern).fillna(0).to_numpy(dtype=np.int64)
+
+
+def word_ngrams_flat(texts: "pd.Series", n: int):
+    """Word ``n``-gram strings for a batch of texts, built VECTORIZED
+    over one flat tokenization: tokens are the lowercased
+    ``[a-z0-9]+`` runs (SQL parity: ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')``), grams are ``n`` consecutive tokens space-joined
+    via n-1 shifted ``str.cat`` passes (C string kernels, no per-gram
+    Python).  Returns ``(grams object-ndarray, doc_index int64-ndarray)``
+    where ``doc_index`` maps each gram to its row in ``texts``; grams
+    never cross document boundaries."""
+    flat, offsets, nonempty = tokenize_flat(texts, r"[^A-Za-z0-9]+")
+    keep = nonempty.astype(bool)
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64),
+                       np.diff(offsets))[keep]
+    if len(toks) < n:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    s = pd.Series(toks, dtype="object")
+    gram = s.copy()
+    for k in range(1, n):
+        gram = gram.str.cat(s.shift(-k), sep=" ")
+    m = len(doc_of) - n + 1
+    valid = doc_of[:m] == doc_of[n - 1:]
+    return gram.to_numpy()[:m][valid], doc_of[:m][valid]

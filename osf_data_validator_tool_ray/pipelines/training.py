@@ -264,3 +264,88 @@ def stratified_sample(
         return t.filter(pa.array(bucket < limit))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def benchmark_ngram_set(
+    bench_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    n: int = 5,
+) -> set:
+    """The DISTINCT word-``n``-gram set of a benchmark/eval corpus,
+    reduced to the driver: per-batch distinct partials (combiner), one
+    driver union.  Bounded by the BENCHMARK's size — eval sets are
+    orders of magnitude smaller than training corpora, the premise of
+    every published decontamination setup; for a pathologically large
+    benchmark, swap the exact set for a Bloom filter
+    (functions/sketches.py) at the cost of a false-positive drop
+    rate."""
+    from ..functions.text import word_ngrams_flat
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, _ = word_ngrams_flat(t.column(text_col).to_pandas(), n)
+        return pa.table({"gram": pa.array(pd.unique(g), type=pa.string())})
+
+    out: set = set()
+    parts = bench_ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    for batch in parts.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        out.update(batch.column("gram").to_pylist())
+    return out
+
+
+def decontaminate(
+    train_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    mode: str = "flag",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the GPT-3/C4-style n-gram overlap
+    rule): a training document is CONTAMINATED when any of its word
+    ``n``-grams appears in the benchmark corpus.
+
+    The benchmark gram set broadcasts ONCE via ``ray.put`` (plasma-
+    cached per worker); training data streams through one vectorized
+    ``map_batches`` pass — shifted-concat gram construction + one
+    hashed ``isin`` membership test + a bincount per-doc reduction.  No
+    shuffle, no driver materialization of training data.
+
+    mode="flag": returns (id_col, n_hits) rows for contaminated docs
+    (n_hits = number of GRAM POSITIONS that hit, the quantity a SQL
+    gram join reproduces).  mode="drop": returns the clean training
+    rows with original columns."""
+    import ray as _ray
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from ..functions.text import word_ngrams_flat
+
+    bench_ref = _ray.put(benchmark_ngram_set(bench_ds, text_col, n))
+    id_type = None
+    for name, typ in zip(train_ds.schema().names, train_ds.schema().types):
+        if name == id_col and isinstance(typ, pa.DataType):
+            id_type = typ
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        grams, doc_of = word_ngrams_flat(t.column(text_col).to_pandas(), n)
+        hits = pd.Series(grams, dtype="object").isin(bench).to_numpy()
+        per_doc = np.bincount(doc_of[hits], minlength=t.num_rows) \
+            .astype(np.int64)
+        m = per_doc > 0
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(m)),
+            "n_hits": pa.array(per_doc[m], type=pa.int64())})
+
+    def drop(t: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        grams, doc_of = word_ngrams_flat(t.column(text_col).to_pandas(), n)
+        hits = pd.Series(grams, dtype="object").isin(bench).to_numpy()
+        per_doc = np.bincount(doc_of[hits], minlength=t.num_rows)
+        return t.filter(pa.array(per_doc == 0))
+
+    fn = flag if mode == "flag" else drop
+    return train_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=None)

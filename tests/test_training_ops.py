@@ -153,3 +153,51 @@ def test_stratified_sample_rates_and_determinism():
     assert frac_en == pytest.approx(0.8, abs=0.02)
     frac_de = (got["lang"] == "de").sum() / (df["lang"] == "de").sum()
     assert frac_de == pytest.approx(0.1, abs=0.02)
+
+
+def test_decontaminate_flags_and_drops_planted_overlap():
+    """Planted contamination: train docs embedding a benchmark 5-gram
+    are flagged with the exact position count; clean docs survive
+    mode='drop'; results are partitioning-invariant."""
+    from osf_data_validator_tool_ray.pipelines.training import decontaminate
+
+    bench = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1000, 1001],
+        "text": ["alpha bravo charlie delta echo foxtrot",
+                 "one two three four five six seven"]}))
+    train_df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # contains "alpha bravo charlie delta echo" at 2 positions
+            "x alpha bravo charlie delta echo y alpha bravo charlie delta echo",
+            "totally clean text with none of those words present today",
+            # punctuation/case variations still tokenize to a hit
+            "say: ONE, two! three? four five... and more",
+            "four five six but never a full window of matching tokens",
+        ]})
+    for parts in (1, 3):
+        train = ray.data.from_pandas(train_df).repartition(parts)
+        out = decontaminate(train, bench, n=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # doc 1: grams at positions 1..3 hit ("alpha..echo", "bravo..y"?
+        # no — hits are exactly the windows fully inside the benchmark
+        # gram set: positions starting at 'alpha' (x2) and the window
+        # 'bravo charlie delta echo y' is NOT a benchmark gram
+        assert out["doc_id"].tolist() == [1, 3]
+        assert out[out["doc_id"] == 1]["n_hits"].iloc[0] == 2
+        assert out[out["doc_id"] == 3]["n_hits"].iloc[0] == 1
+        kept = decontaminate(train, bench, n=5, mode="drop").to_pandas()
+        assert sorted(kept["doc_id"]) == [2, 4]
+
+
+def test_decontaminate_empty_benchmark_is_noop():
+    from osf_data_validator_tool_ray.pipelines.training import decontaminate
+
+    bench = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"),
+         "text": pd.Series(dtype="object")}))
+    train = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["anything at all goes here now"]}))
+    assert decontaminate(train, bench, n=5).to_pandas().empty
+    assert len(decontaminate(train, bench, n=5, mode="drop")
+               .to_pandas()) == 1
